@@ -1,0 +1,227 @@
+"""Minimal functional module system for the network zoo.
+
+Design (TPU-first, not a torch translation):
+  * A ``Layer`` is an immutable config object with two pure methods:
+    ``init(key) -> params`` and ``apply(params, x, ctx) -> y``.  Parameters
+    are plain nested dicts (pytrees); there is no mutable module state, so
+    every network composes directly with ``jax.jit`` / ``jax.grad`` / sharding.
+  * Parameter-tree structure intentionally mirrors torch ``state_dict``
+    naming (``Sequential`` children keyed by their *position index*, custom
+    modules by attribute name) so ``.pth`` checkpoints round-trip via a pure
+    flatten/unflatten (see utils/pth.py; reference models/base_model.py:44-61).
+  * Kernels are stored HWIO and activations NHWC — the MXU-native layouts.
+    ConvTranspose kernels are stored pre-flipped for the lax lhs-dilated
+    formulation (layout conversion happens once, at .pth import/export).
+  * Randomness (dropout, injected Gaussian noise) is threaded through a
+    ``Ctx`` whose per-call keys are derived deterministically by fold_in —
+    replacing torch's global-generator ``normal_()`` stream.
+
+Weight init matches the reference's ``weights_init``
+(models/networks.py:13-19): Conv*/ConvT* weights ~ N(0, 0.02), BatchNorm
+weight ~ N(1, 0.02) and bias 0.  Conv biases keep the torch-0.3 default
+U(-1/sqrt(fan_in), 1/sqrt(fan_in)) that ``weights_init`` does not touch.
+
+Train/eval: the reference never calls ``.eval()``, so dropout and batch-norm
+batch statistics are active at *test* time too (the published recipes depend
+on this for sample diversity).  ``Ctx(train=...)`` exists for unit tests, but
+the drivers always run with ``train=True`` to reproduce that behavior.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (conv2d, conv_transpose2d, instance_norm, batch_norm,
+                   avg_pool, bilinear_upsample, reflection_pad2d)
+
+
+class Ctx:
+    """Per-forward context: RNG stream, train flag, compute dtype."""
+
+    def __init__(self, key=None, train=True, compute_dtype=None):
+        self.key = key
+        self.train = train
+        self.compute_dtype = compute_dtype
+        self._n = 0
+
+    def rng(self):
+        if self.key is None:
+            raise ValueError("this forward pass needs a PRNG key: Ctx(key=...)")
+        k = jax.random.fold_in(self.key, self._n)
+        self._n += 1
+        return k
+
+
+class Layer:
+    """Base layer: stateless config; params live in an external pytree."""
+
+    def init(self, key):
+        return {}
+
+    def apply(self, params, x, ctx):
+        raise NotImplementedError
+
+
+class Sequential(Layer):
+    """Position-indexed container; params keyed '0', '1', ... like torch."""
+
+    def __init__(self, *layers):
+        self.layers = list(layers)
+
+    def init(self, key):
+        params = {}
+        keys = jax.random.split(key, max(len(self.layers), 1))
+        for i, layer in enumerate(self.layers):
+            p = layer.init(keys[i])
+            if p:
+                params[str(i)] = p
+        return params
+
+    def apply(self, params, x, ctx):
+        for i, layer in enumerate(self.layers):
+            x = layer.apply(params.get(str(i), {}), x, ctx)
+        return x
+
+
+def _conv_init(key, shape_hwio, fan_in, bias, weight_std=0.02):
+    kw, kb = jax.random.split(key)
+    p = {"weight": jax.random.normal(kw, shape_hwio, jnp.float32) * weight_std}
+    if bias:
+        bound = 1.0 / math.sqrt(fan_in)
+        p["bias"] = jax.random.uniform(
+            kb, (shape_hwio[-1],), jnp.float32, -bound, bound)
+    return p
+
+
+class Conv2d(Layer):
+    def __init__(self, in_nc, out_nc, kernel, stride=1, padding=0, bias=True):
+        self.in_nc, self.out_nc = in_nc, out_nc
+        self.kernel, self.stride, self.padding, self.bias = kernel, stride, padding, bias
+
+    def init(self, key):
+        k = self.kernel
+        return _conv_init(key, (k, k, self.in_nc, self.out_nc),
+                          self.in_nc * k * k, self.bias)
+
+    def apply(self, params, x, ctx):
+        return conv2d(x, params["weight"], params.get("bias"),
+                      self.stride, self.padding, ctx.compute_dtype)
+
+
+class ConvTranspose2d(Layer):
+    def __init__(self, in_nc, out_nc, kernel, stride=2, padding=1, bias=True,
+                 output_padding=0):
+        self.in_nc, self.out_nc = in_nc, out_nc
+        self.kernel, self.stride, self.padding, self.bias = kernel, stride, padding, bias
+        self.output_padding = output_padding
+
+    def init(self, key):
+        k = self.kernel
+        # torch-0.3 fan_in for ConvTranspose is in_channels * k * k as well.
+        return _conv_init(key, (k, k, self.in_nc, self.out_nc),
+                          self.in_nc * k * k, self.bias)
+
+    def apply(self, params, x, ctx):
+        return conv_transpose2d(x, params["weight"], params.get("bias"),
+                                self.stride, self.padding,
+                                self.output_padding, ctx.compute_dtype)
+
+
+class BatchNorm2d(Layer):
+    def __init__(self, nc, eps=1e-5):
+        self.nc, self.eps = nc, eps
+
+    def init(self, key):
+        return {"weight": jax.random.normal(key, (self.nc,), jnp.float32) * 0.02 + 1.0,
+                "bias": jnp.zeros((self.nc,), jnp.float32)}
+
+    def apply(self, params, x, ctx):
+        return batch_norm(x, params["weight"], params["bias"], self.eps)
+
+
+class InstanceNorm2d(Layer):
+    """affine=False — no parameters (reference models/networks.py:47)."""
+
+    def __init__(self, nc=None, eps=1e-5):
+        self.eps = eps
+
+    def apply(self, params, x, ctx):
+        return instance_norm(x, self.eps)
+
+
+class ReLU(Layer):
+    def apply(self, params, x, ctx):
+        return jax.nn.relu(x)
+
+
+class LeakyReLU(Layer):
+    def __init__(self, slope=0.2):
+        self.slope = slope
+
+    def apply(self, params, x, ctx):
+        return jax.nn.leaky_relu(x, self.slope)
+
+
+class Tanh(Layer):
+    def apply(self, params, x, ctx):
+        return jnp.tanh(x)
+
+
+class Sigmoid(Layer):
+    def apply(self, params, x, ctx):
+        return jax.nn.sigmoid(x)
+
+
+class Dropout(Layer):
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def apply(self, params, x, ctx):
+        if not ctx.train or self.p == 0.0:
+            return x
+        keep = 1.0 - self.p
+        mask = jax.random.bernoulli(ctx.rng(), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class GaussianNoise(Layer):
+    """y + sigma * N(0, 1) — the per-level noise injection
+    (reference models/networks.py:414-417, 759-764)."""
+
+    def __init__(self, sigma=0.1):
+        self.sigma = sigma
+
+    def apply(self, params, x, ctx):
+        return x + self.sigma * jax.random.normal(ctx.rng(), x.shape, x.dtype)
+
+
+class ReflectionPad2d(Layer):
+    def __init__(self, padding):
+        self.padding = padding
+
+    def apply(self, params, x, ctx):
+        return reflection_pad2d(x, self.padding)
+
+
+class AvgPool2d(Layer):
+    def __init__(self, kernel, stride=None, padding=0):
+        self.kernel, self.stride, self.padding = kernel, stride, padding
+
+    def apply(self, params, x, ctx):
+        return avg_pool(x, self.kernel, self.stride, self.padding)
+
+
+class Upsample(Layer):
+    """Bilinear x-scale upsample, torch-0.3 align_corners=True semantics."""
+
+    def __init__(self, scale_factor=2, mode='bilinear'):
+        assert mode == 'bilinear'
+        self.scale = scale_factor
+
+    def apply(self, params, x, ctx):
+        return bilinear_upsample(x, self.scale)
+
+
+def count_params(params):
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

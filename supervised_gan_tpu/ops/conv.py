@@ -1,0 +1,78 @@
+"""Convolution primitives (NHWC, MXU-friendly).
+
+All tensors are NHWC and kernels HWIO — the layouts XLA tiles best onto the
+TPU MXU.  Semantics match ``torch.nn.Conv2d`` / ``torch.nn.ConvTranspose2d``
+with symmetric integer padding and ``output_padding=0``, which is the only
+configuration the reference zoo uses (reference models/networks.py — k4s2p1
+PatchGAN/DCGAN stacks, 3x3 s1 p1 CRN convs, 7x7 resnet stem).
+
+Mixed precision: inputs/kernels may be cast to ``compute_dtype`` (bfloat16 on
+TPU); accumulation is forced to float32 via ``preferred_element_type`` and the
+result is returned in float32.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _cast(x, w, compute_dtype):
+    if compute_dtype is not None and x.dtype != compute_dtype:
+        x = x.astype(compute_dtype)
+    if compute_dtype is not None and w.dtype != compute_dtype:
+        w = w.astype(compute_dtype)
+    return x, w
+
+
+def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
+    """2-D convolution. x: (N,H,W,C), w: (kh,kw,Cin,Cout), b: (Cout,)."""
+    x, w = _cast(x, w, compute_dtype)
+    s = (stride, stride) if isinstance(stride, int) else stride
+    p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
+    y = lax.conv_general_dilated(
+        x, w, window_strides=s, padding=p,
+        dimension_numbers=_DIMS, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
+                     compute_dtype=None):
+    """Transposed 2-D convolution with torch ConvTranspose2d semantics.
+
+    x: (N,H,W,Cin), w: (kh,kw,Cin,Cout) stored *pre-flipped* (see
+    utils/pth.py for the torch-layout mapping), b: (Cout,).
+    Output spatial size: (H-1)*stride - 2*padding + k + output_padding.
+
+    Implemented as a conv with input (lhs) dilation, which XLA lowers to the
+    MXU directly — the canonical TPU formulation of deconvolution.
+    ``output_padding`` adds rows/cols at the bottom/right, matching torch.
+    """
+    x, w = _cast(x, w, compute_dtype)
+    kh, kw = w.shape[0], w.shape[1]
+    s = (stride, stride) if isinstance(stride, int) else stride
+    ph, pw = (padding, padding) if isinstance(padding, int) else padding
+    op = output_padding
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1),
+        padding=((kh - 1 - ph, kh - 1 - ph + op),
+                 (kw - 1 - pw, kw - 1 - pw + op)),
+        lhs_dilation=s,
+        dimension_numbers=_DIMS, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def depthwise_conv2d(x, w, stride=1, padding=0, compute_dtype=None):
+    """Depthwise conv. x: (N,H,W,C), w: (kh,kw,1,C)."""
+    x, w = _cast(x, w, compute_dtype)
+    s = (stride, stride) if isinstance(stride, int) else stride
+    p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
+    return lax.conv_general_dilated(
+        x, w, window_strides=s, padding=p,
+        dimension_numbers=_DIMS, feature_group_count=x.shape[-1],
+        preferred_element_type=jnp.float32)

@@ -1,0 +1,106 @@
+"""Spatial resampling ops (NHWC).
+
+Covers the reference's full resampling surface:
+  * bilinear x-s upsample (torch 0.3 ``nn.Upsample(mode='bilinear')``,
+    align_corners=True semantics) — the ``transform_1to2`` pair and CRN
+    'bilinear' upsample blocks (reference models/cgan_model.py:51-57,
+    models/networks.py:750-755),
+  * AvgPool2d(k, s) — ``transform_inverse`` and the CRN label pyramid
+    (reference models/networks.py:712-731),
+  * the multi-scale discriminator front-end: MATLAB-fspecial Gaussian blur
+    (depthwise) followed by stride-``scale`` subsampling
+    (reference models/networks.py:22-40,125-129,807-813).
+
+Bilinear upsampling is implemented as two dense interpolation-matrix
+contractions (height then width).  For the integer scales used here the
+matrices are tiny and static, so XLA lowers the whole op onto the MXU —
+far faster on TPU than a gather-based formulation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .conv import depthwise_conv2d
+
+
+def _interp_matrix(in_size, out_size, align_corners=True, dtype=np.float32):
+    """(out_size, in_size) bilinear interpolation matrix."""
+    A = np.zeros((out_size, in_size), dtype=dtype)
+    if out_size == 1 or in_size == 1:
+        A[:, 0] = 1.0
+        return A
+    if align_corners:
+        src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = np.clip((np.arange(out_size) + 0.5) * scale - 0.5, 0, in_size - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w = (src - i0).astype(dtype)
+    A[np.arange(out_size), i0] += 1.0 - w
+    A[np.arange(out_size), i1] += w
+    return A
+
+
+def bilinear_upsample(x, scale, align_corners=True):
+    """x: (N,H,W,C) -> (N, H*scale, W*scale, C)."""
+    n, h, w, c = x.shape
+    Ah = jnp.asarray(_interp_matrix(h, h * scale, align_corners))
+    Aw = jnp.asarray(_interp_matrix(w, w * scale, align_corners))
+    y = jnp.einsum('oh,nhwc->nowc', Ah, x.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum('pw,nhwc->nhpc', Aw, y, preferred_element_type=jnp.float32)
+    return y
+
+
+def avg_pool(x, kernel, stride=None, padding=0):
+    """AvgPool2d(kernel, stride) on NHWC. Count includes padding (torch default)."""
+    stride = kernel if stride is None else stride
+    k = (kernel, kernel) if isinstance(kernel, int) else kernel
+    s = (stride, stride) if isinstance(stride, int) else stride
+    p = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    y = lax.reduce_window(x.astype(jnp.float32), 0.0, lax.add,
+                          (1, k[0], k[1], 1), (1, s[0], s[1], 1), p)
+    return y / (k[0] * k[1])
+
+
+def matlab_gauss2d(shape=(3, 3), sigma=0.5):
+    """MATLAB fspecial('gaussian') — reference models/networks.py:22-33."""
+    m, n = [(ss - 1.0) / 2.0 for ss in shape]
+    y, x = np.ogrid[-m:m + 1, -n:n + 1]
+    h = np.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    h[h < np.finfo(h.dtype).eps * h.max()] = 0
+    s = h.sum()
+    if s != 0:
+        h /= s
+    return h.astype(np.float32)
+
+
+def gauss_blur_kernel(scale_factor):
+    """Depthwise HWIO (kw,kw,1,1) blur kernel for a multi-scale D front-end.
+
+    sigma = scale//2 (the reference is Python 2: ``scale_factor / 2`` is
+    integer division), kw = 4*sigma + 1 — reference models/networks.py:125-129.
+    """
+    sigma = scale_factor // 2
+    kw = 4 * sigma + 1
+    k = matlab_gauss2d((kw, kw), sigma)
+    return k.reshape(kw, kw, 1, 1)
+
+
+def blur_downsample(x, scale_factor, compute_dtype=None):
+    """Gaussian blur (padding 2*sigma) + stride-``scale`` subsample.
+
+    Equivalent to the reference's frozen ``gauss_filter`` Sequential:
+    depthwise-diagonal Gaussian conv then AvgPool2d(kernel=1, stride=scale)
+    (reference models/networks.py:807-813).
+    """
+    if scale_factor <= 1:
+        return x
+    sigma = scale_factor // 2
+    kern = jnp.asarray(gauss_blur_kernel(scale_factor))
+    kern = jnp.broadcast_to(kern, kern.shape[:2] + (1, x.shape[-1]))
+    y = depthwise_conv2d(x, kern, stride=1, padding=2 * sigma,
+                         compute_dtype=compute_dtype)
+    return y[:, ::scale_factor, ::scale_factor, :]
