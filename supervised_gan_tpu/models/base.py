@@ -1,0 +1,131 @@
+"""BaseModel: the duck-typed recipe protocol the drivers consume
+(reference models/base_model.py:5-64) plus shared TPU plumbing.
+
+Protocol: initialize / set_input / forward / test / optimize_parameters /
+get_current_errors / get_current_visuals / save / update_learning_rate.
+
+Shared plumbing:
+  * seeded PRNG service (one master key from --manualSeed; per-step keys by
+    fold_in — replaces torch's global generator),
+  * which_channel parsing ('rg_b' -> input channels [r,g], output [b];
+    reference models/fcgan_model.py:47-58),
+  * checkpoint IO: torch-compatible ``<label>_net_<name>.pth`` per net plus
+    a native ``<label>_state.pkl`` carrying the FULL train state (params +
+    Adam moments + pools + lr) so resume is exact — the reference loses
+    optimizer state on resume (SURVEY.md §5.3),
+  * linear lr decay bookkeeping.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils import pth as pthio
+
+
+def parse_which_channel(spec):
+    """'rg_b' -> [[0,1],[2]] (rgb indices per group)."""
+    idx = {'r': 0, 'g': 1, 'b': 2}
+    return [[idx[c] for c in group] for group in spec.split('_')]
+
+
+def adam_transform(beta1):
+    """scale_by_adam; the step's learning rate is applied inside the train
+    step from a traced scalar, so per-epoch lr decay never recompiles."""
+    return optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
+
+
+def apply_adam(tx, grads, opt_state, params, lr):
+    updates, opt_state = tx.update(grads, opt_state, params)
+    new_params = jax.tree_util.tree_map(
+        lambda p, u: p - lr * u, params, updates)
+    return new_params, opt_state
+
+
+class BaseModel:
+    def name(self):
+        return type(self).__name__
+
+    def initialize(self, opt):
+        self.opt = opt
+        self.isTrain = opt.isTrain
+        self.save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        self.model_dir = opt.pretrained_model_dir
+        os.makedirs(self.save_dir, exist_ok=True)
+        seed = opt.manualSeed if opt.manualSeed is not None else 0
+        self.master_key = jax.random.PRNGKey(seed)
+        self.init_key = jax.random.fold_in(self.master_key, 0)
+        self._step_count = 0
+        self._test_count = 0
+        self.compute_dtype = (jnp.bfloat16
+                              if opt.compute_dtype == 'bfloat16' else None)
+        self.image_paths = []
+
+    # ------------------------------------------------------------- rng -- #
+    def next_step_key(self):
+        self._step_count += 1
+        return jax.random.fold_in(self.master_key, 2 * self._step_count + 1)
+
+    def next_test_key(self):
+        self._test_count += 1
+        return jax.random.fold_in(self.master_key, 2 * self._test_count)
+
+    # ------------------------------------------------------ checkpoints -- #
+    def _net_path(self, network_label, epoch_label, model_dir=''):
+        d = model_dir or self.save_dir
+        return os.path.join(d, '%s_net_%s.pth' % (epoch_label, network_label))
+
+    def save_network(self, net, params, network_label, epoch_label):
+        pthio.save_pth(self._net_path(network_label, epoch_label), net, params)
+
+    def load_network(self, net, network_label, epoch_label, model_dir=''):
+        # explicit model_dir wins, else save_dir (reference base_model.py:55-61)
+        path = self._net_path(network_label, epoch_label, model_dir)
+        print('loading %s' % path)
+        return pthio.load_pth(path, net)
+
+    def save_full_state(self, state, epoch_label, extra=None):
+        payload = {'state': state, 'extra': extra or {}}
+        pthio.save_state(os.path.join(
+            self.save_dir, '%s_state.pkl' % epoch_label), payload)
+
+    def load_full_state(self, epoch_label):
+        path = os.path.join(self.save_dir, '%s_state.pkl' % epoch_label)
+        if os.path.exists(path):
+            return pthio.load_state(path)
+        return None
+
+    # ------------------------------------------------------------ misc -- #
+    def get_image_paths(self):
+        return self.image_paths
+
+    def set_input(self, input):
+        self.input = input
+
+    def forward(self):
+        pass
+
+    def test(self):
+        pass
+
+    def optimize_parameters(self):
+        pass
+
+    def get_current_visuals(self, **kw):
+        return self.input
+
+    def get_current_errors(self):
+        return {}
+
+    def save(self, label):
+        pass
+
+    def update_learning_rate(self):
+        pass
+
+    @staticmethod
+    def to_device(arr):
+        return jnp.asarray(np.ascontiguousarray(arr), jnp.float32)

@@ -62,6 +62,25 @@ class Layer:
     def apply(self, params, x, ctx):
         raise NotImplementedError
 
+    def children(self):
+        """Named sub-layers, introspected from instance attributes.
+
+        Custom modules that hold a dict of sub-layers (e.g. CRN blocks)
+        store it under ``self.blocks``; its entries are flattened into the
+        child namespace so parameter paths match torch attribute names.
+        """
+        out = {}
+        for k, v in vars(self).items():
+            if isinstance(v, Layer):
+                out[k] = v
+            elif k == 'blocks' and isinstance(v, dict):
+                out.update(v)
+        return out
+
+    def param_kinds(self):
+        """Own (leaf) parameter kinds: name -> 'conv'|'convt'|'bn'|'bias'."""
+        return {}
+
 
 class Sequential(Layer):
     """Position-indexed container; params keyed '0', '1', ... like torch."""
@@ -82,6 +101,9 @@ class Sequential(Layer):
         for i, layer in enumerate(self.layers):
             x = layer.apply(params.get(str(i), {}), x, ctx)
         return x
+
+    def children(self):
+        return {str(i): layer for i, layer in enumerate(self.layers)}
 
 
 def _conv_init(key, shape_hwio, fan_in, bias, weight_std=0.02):
@@ -108,6 +130,12 @@ class Conv2d(Layer):
         return conv2d(x, params["weight"], params.get("bias"),
                       self.stride, self.padding, ctx.compute_dtype)
 
+    def param_kinds(self):
+        k = {"weight": "conv"}
+        if self.bias:
+            k["bias"] = "bias"
+        return k
+
 
 class ConvTranspose2d(Layer):
     def __init__(self, in_nc, out_nc, kernel, stride=2, padding=1, bias=True,
@@ -127,6 +155,12 @@ class ConvTranspose2d(Layer):
                                 self.stride, self.padding,
                                 self.output_padding, ctx.compute_dtype)
 
+    def param_kinds(self):
+        k = {"weight": "convt"}
+        if self.bias:
+            k["bias"] = "bias"
+        return k
+
 
 class BatchNorm2d(Layer):
     def __init__(self, nc, eps=1e-5):
@@ -138,6 +172,9 @@ class BatchNorm2d(Layer):
 
     def apply(self, params, x, ctx):
         return batch_norm(x, params["weight"], params["bias"], self.eps)
+
+    def param_kinds(self):
+        return {"weight": "bn", "bias": "bias"}
 
 
 class InstanceNorm2d(Layer):

@@ -91,28 +91,28 @@ class FCGANGeneratorStar(Layer):
                               BatchNorm2d(oc), ReLU())
 
         mults = [8, 8, 4, 2, 1]
-        self.children = {}
+        self.blocks = {}
         ic = self.noise_nc
         for i, m in enumerate(mults):
-            self.children['conv%da' % i] = up(ic, ngf * m)
+            self.blocks['conv%da' % i] = up(ic, ngf * m)
             ic = ngf * m
-        self.children['conv5a'] = up(ngf, out_nc, final=True)
+        self.blocks['conv5a'] = up(ngf, out_nc, final=True)
         # tower b: levels 1..5 take concatenated [ha, hb] features
-        self.children['conv0b'] = up(self.noise_nc, ngf * 8)
+        self.blocks['conv0b'] = up(self.noise_nc, ngf * 8)
         b_in = [ngf * 8 * 2, ngf * 8 * 2, ngf * 4 * 2, ngf * 2 * 2]
         b_out = [ngf * 8, ngf * 4, ngf * 2, ngf * 1]
         for i in range(4):
-            self.children['conv%db' % (i + 1)] = up(b_in[i], b_out[i])
-        self.children['conv5b'] = up(ngf * 2, out_nc, final=True)
+            self.blocks['conv%db' % (i + 1)] = up(b_in[i], b_out[i])
+        self.blocks['conv5b'] = up(ngf * 2, out_nc, final=True)
 
     def init(self, key):
-        keys = jax.random.split(key, len(self.children))
+        keys = jax.random.split(key, len(self.blocks))
         return {name: child.init(k)
-                for (name, child), k in zip(sorted(self.children.items()), keys)}
+                for (name, child), k in zip(sorted(self.blocks.items()), keys)}
 
     def apply(self, params, noise, ctx, activation='tanh'):
         def run(name, x):
-            return self.children[name].apply(params[name], x, ctx)
+            return self.blocks[name].apply(params[name], x, ctx)
 
         noise1 = noise[..., :self.noise_nc]
         noise2 = noise[..., self.noise_nc:2 * self.noise_nc]
@@ -296,7 +296,7 @@ class CascadedRefinementNetwork(Layer):
                 CrnInterBlock(ngf, out_nc, n_layers=n_layers_block,
                               norm_layer=norm_layer, outer_most=outer_most))
 
-        self.children = {
+        self.blocks = {
             'blockh5': hblock(noise_nc + input_nc, ngf),
             'blockh4': hblock(ngf + ngf, ngf),
             'blockh3': hblock(ngf + ngf, ngf),
@@ -311,19 +311,19 @@ class CascadedRefinementNetwork(Layer):
                               norm_layer(ngf))
 
         if share_label_weights:
-            self.children['blockl'] = lblock()
+            self.blocks['blockl'] = lblock()
         else:
             for i in range(5):
-                self.children['blockl%d' % i] = lblock()
+                self.blocks['blockl%d' % i] = lblock()
 
     def init(self, key):
-        keys = jax.random.split(key, len(self.children))
+        keys = jax.random.split(key, len(self.blocks))
         return {name: child.init(k)
-                for (name, child), k in zip(sorted(self.children.items()), keys)}
+                for (name, child), k in zip(sorted(self.blocks.items()), keys)}
 
     def apply(self, params, label, noise, ctx, activation='tanh'):
         def run(name, x):
-            return self.children[name].apply(params[name], x, ctx)
+            return self.blocks[name].apply(params[name], x, ctx)
 
         h = run('blockh5', jnp.concatenate([avg_pool(label, 64), noise], -1))
         for pool, hname, lidx in ((32, 'blockh4', 4), (16, 'blockh3', 3),

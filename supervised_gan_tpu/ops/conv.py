@@ -7,8 +7,12 @@ configuration the reference zoo uses (reference models/networks.py — k4s2p1
 PatchGAN/DCGAN stacks, 3x3 s1 p1 CRN convs, 7x7 resnet stem).
 
 Mixed precision: inputs/kernels may be cast to ``compute_dtype`` (bfloat16 on
-TPU); accumulation is forced to float32 via ``preferred_element_type`` and the
-result is returned in float32.
+TPU).  The conv itself then runs in that dtype (the TPU MXU accumulates
+bf16 x bf16 products in float32 in hardware) and the result is cast back to
+float32 afterwards.  We deliberately do NOT pass ``preferred_element_type``
+with mixed-precision inputs: jax's conv transpose rule would then pair a
+bf16 operand with the f32 cotangent and fail; the explicit output cast keeps
+the VJP dtypes consistent.
 """
 
 import jax
@@ -32,10 +36,10 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     y = lax.conv_general_dilated(
-        x, w, window_strides=s, padding=p,
-        dimension_numbers=_DIMS, preferred_element_type=jnp.float32)
+        x, w, window_strides=s, padding=p, dimension_numbers=_DIMS)
+    y = y.astype(jnp.float32)
     if b is not None:
-        y = y + b.astype(y.dtype)
+        y = y + b
     return y
 
 
@@ -61,9 +65,10 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
         padding=((kh - 1 - ph, kh - 1 - ph + op),
                  (kw - 1 - pw, kw - 1 - pw + op)),
         lhs_dilation=s,
-        dimension_numbers=_DIMS, preferred_element_type=jnp.float32)
+        dimension_numbers=_DIMS)
+    y = y.astype(jnp.float32)
     if b is not None:
-        y = y + b.astype(y.dtype)
+        y = y + b
     return y
 
 
@@ -72,7 +77,7 @@ def depthwise_conv2d(x, w, stride=1, padding=0, compute_dtype=None):
     x, w = _cast(x, w, compute_dtype)
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
-    return lax.conv_general_dilated(
+    y = lax.conv_general_dilated(
         x, w, window_strides=s, padding=p,
-        dimension_numbers=_DIMS, feature_group_count=x.shape[-1],
-        preferred_element_type=jnp.float32)
+        dimension_numbers=_DIMS, feature_group_count=x.shape[-1])
+    return y.astype(jnp.float32)

@@ -1,0 +1,40 @@
+"""Image conversion utilities.
+
+``tensor2im`` defines output-file parity with the reference
+(util/util.py:15-24): take batch element 0, map [-1,1] -> [0,255] uint8;
+1-channel images are repeated to RGB, 2-channel images get a zero blue
+channel appended.  Input here is NHWC (device layout) instead of NCHW.
+"""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def tensor2im(image, imtype=np.uint8):
+    """image: (N,H,W,C) array-like in [-1,1] -> (H,W,3) uint8."""
+    arr = np.asarray(image[0], dtype=np.float32)
+    arr = (arr + 1) / 2.0 * 255.0
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    elif arr.shape[-1] == 2:
+        arr = np.concatenate(
+            [arr, np.zeros(arr.shape[:-1] + (1,), dtype=arr.dtype)], axis=-1)
+    return arr.astype(imtype)
+
+
+def save_image(image_numpy, image_path):
+    Image.fromarray(image_numpy).save(image_path)
+
+
+def mkdir(path):
+    os.makedirs(path, exist_ok=True)
+
+
+def mkdirs(paths):
+    if isinstance(paths, (list, tuple)):
+        for p in paths:
+            mkdir(p)
+    else:
+        mkdir(paths)

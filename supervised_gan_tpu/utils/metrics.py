@@ -1,0 +1,85 @@
+"""Evaluation metrics.
+
+  * compute_rand_f_scores — Rand F-score over connected components
+    (reference util/util.py:86-128): threshold S,T at 0.5, label connected
+    components with background=1, build the joint histogram and compute
+    F = 2/(1/prec + 1/rec) with the background-row handling.
+  * ConfusionAccumulator — streaming confusion matrix with
+    pixelAcc / meanAcc / meanIU (reference models/segm_model.py:309-333).
+"""
+
+import numpy as np
+
+
+def compute_rand_f_scores(S, T, do_thin=False):
+    from skimage import measure
+    S = np.asarray(S)
+    T = np.asarray(T)
+    if S.ndim == 2:
+        S = S.reshape((1, 1) + S.shape)
+        T = T.reshape((1, 1) + T.shape)
+    num_images = T.shape[0]
+    scores = np.zeros(num_images)
+    for k in range(num_images):
+        t = np.squeeze(T[k], axis=0) > 0.5
+        s = np.squeeze(S[k], axis=0) > 0.5
+        if do_thin:
+            from skimage.morphology import thin
+            s = thin(s)
+        t_label = measure.label(t, background=1)
+        s_label = measure.label(s, background=1)
+        t_max = t_label.max()
+        s_max = s_label.max()
+        # joint histogram via bincount (vectorized; the reference loops pixels)
+        joint = np.bincount(
+            (t_label.ravel() * (s_max + 1) + s_label.ravel()),
+            minlength=(t_max + 1) * (s_max + 1)
+        ).reshape(t_max + 1, s_max + 1).astype(np.float64)
+        p_ = joint[1:, :]
+        n = joint.sum()
+        p_ = p_ / n
+        p__ = p_[:, 1:]
+        pi0 = p_[:, 0]
+        aux = pi0.sum()
+        ai = p_.sum(axis=1)
+        bj = p__.sum(axis=0)
+        sum_a2 = np.power(ai, 2).sum()
+        sum_b2 = np.power(bj, 2).sum() + aux / n
+        sum_ab2 = np.power(p__, 2).sum() + aux / n
+        prec = sum_ab2 / sum_b2
+        rec = sum_ab2 / sum_a2
+        scores[k] = 2.0 / (1.0 / prec + 1.0 / rec)
+    return scores
+
+
+class ConfusionAccumulator:
+    """Streaming per-class confusion matrix -> pixelAcc / meanAcc / meanIU."""
+
+    def __init__(self, num_classes):
+        self.num_classes = num_classes
+        self.reset()
+
+    def reset(self):
+        self.mat = np.zeros((self.num_classes, self.num_classes), np.int64)
+
+    def update(self, pred, target):
+        """pred/target: int arrays of class ids, same shape."""
+        p = np.asarray(pred).ravel()
+        t = np.asarray(target).ravel()
+        valid = (t >= 0) & (t < self.num_classes)
+        idx = t[valid] * self.num_classes + p[valid]
+        self.mat += np.bincount(
+            idx, minlength=self.num_classes ** 2
+        ).reshape(self.num_classes, self.num_classes)
+
+    def pixel_acc(self):
+        return np.diag(self.mat).sum() / max(self.mat.sum(), 1)
+
+    def mean_acc(self):
+        per_class = np.diag(self.mat) / np.maximum(self.mat.sum(axis=1), 1)
+        return per_class.mean()
+
+    def mean_iu(self):
+        diag = np.diag(self.mat)
+        union = self.mat.sum(axis=1) + self.mat.sum(axis=0) - diag
+        return (diag / np.maximum(union, 1)).mean()
