@@ -1,0 +1,176 @@
+"""CGAN recipe — conditional label->image GAN with weighted L1
+(SGAN step 2 / pix2pix; reference models/cgan_model.py, README.md:38)."""
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+
+from .two_group import TwoGroupModel
+from .base import adam_transform
+from .common import (build_gan_train_step, bank_apply, g_apply,
+                     l1_weight_map)
+from .pools import init_pool, pool_query
+from .. import nn
+from ..nn.losses import gan_loss, weighted_l1_loss
+from ..utils.images import tensor2im
+
+
+class CGANModel(TwoGroupModel):
+    def name(self):
+        return 'cGANModel'
+
+    def initialize(self, opt):
+        TwoGroupModel.initialize(self, opt)
+        self.netG = self.build_G(opt.input_nc, opt.output_nc)
+        keys = jax.random.split(self.init_key, 16)
+        params = {'G': self.netG.init(keys[0])}
+
+        if self.isTrain:
+            d_in = opt.output_nc if opt.no_cgan \
+                else opt.output_nc + opt.input_nc
+            self.netD = self.build_D_bank(d_in)
+            params['D'] = self.init_bank(self.netD, keys[1])
+
+        if not self.isTrain or opt.continue_train:
+            params['G'] = self.load_network(self.netG, 'G', opt.which_epoch)
+            if self.isTrain:
+                params['D'] = self.load_bank(self.netD, 'D_%d',
+                                             opt.which_epoch)
+
+        state = {'params': params, 'opt': {}, 'pools': {}}
+        if self.isTrain:
+            self.txG = adam_transform(opt.beta1)
+            self.txD = adam_transform(opt.beta1)
+            state['opt'] = {'G': self.txG.init({'G': params['G']}),
+                            'D': self.txD.init(params['D'])}
+            pool_nc = opt.output_nc if opt.no_cgan \
+                else opt.input_nc + opt.output_nc
+            state['pools'] = {'fake': init_pool(
+                opt.pool_size, (opt.fineSize, opt.fineSize, pool_nc))}
+            if opt.continue_train:
+                restored = self.load_full_state(opt.which_epoch)
+                if restored is not None:
+                    state = restored['state']
+                    self.old_lr = restored['extra'].get('lr', opt.lr)
+            self._train_step = jax.jit(self._build_train_step(),
+                                       donate_argnums=(0,))
+        self.state = jax.device_put(state)
+
+        self._g_jit = jax.jit(
+            lambda pG, x, noise, fkey: g_apply(
+                self.netG, pG, nn.Ctx(fkey, compute_dtype=self.compute_dtype),
+                x=x, noise=noise))
+
+        print('------------ Networks initialized -------------')
+        nn.print_network(self.netG, params['G'], 'G')
+        if self.isTrain:
+            for i, d in enumerate(self.netD):
+                nn.print_network(d, params['D'][str(i)], 'D_%d' % i)
+        print('-----------------------------------------------')
+
+    # ------------------------------------------------------------------- #
+    def _noise_shape(self):
+        o = self.opt
+        return (o.batchSize, o.noiseSize, o.noiseSize, o.noise_nc)
+
+    def _build_train_step(self):
+        opt = self.opt
+        netG, netD = self.netG, self.netD
+        lsgan = not opt.no_lsgan
+        lambda_D = tuple(opt.lambda_D)
+        cd = self.compute_dtype
+
+        def ctx(fkey=None):
+            return nn.Ctx(fkey, compute_dtype=cd)
+
+        def forward(params, inputs, noises, fkey):
+            fake_B = g_apply(netG, params['G'], ctx(fkey), x=inputs['A'],
+                             noise=noises['noise'])
+            return {'fake_B': fake_B}
+
+        def make_pairs(taps, pools, key, inputs):
+            fake_in = taps['fake_B'] if opt.no_cgan else jnp.concatenate(
+                [inputs['A'], taps['fake_B']], -1)
+            fake, pool = pool_query(pools['fake'], fake_in, key)
+            return {'fake': fake}, {**pools, 'fake': pool}
+
+        def d_loss(pD, pairs, inputs, all_params):
+            real = inputs['B'] if opt.no_cgan else jnp.concatenate(
+                [inputs['A'], inputs['B']], -1)
+            lf = sum(gan_loss(o_, False, lsgan)
+                     for o_ in bank_apply(netD, pD, pairs['fake'], ctx))
+            lr_ = sum(gan_loss(o_, True, lsgan)
+                      for o_ in bank_apply(netD, pD, real, ctx))
+            return (lf + lr_) * 0.5, {'D_real': lr_, 'D_fake': lf}
+
+        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
+            fake_B = g_apply(netG, g_params['G'], ctx(fkey), x=inputs['A'],
+                             noise=noises['noise'])
+            fake = fake_B if opt.no_cgan else jnp.concatenate(
+                [inputs['A'], fake_B], -1)
+            outs = bank_apply(netD, all_params['D'], fake, ctx)
+            if not opt.no_logD_trick:
+                loss = sum(gan_loss(o_, True, lsgan) * lam
+                           for o_, lam in zip(outs, lambda_D))
+            else:
+                loss = sum(-gan_loss(o_, False, lsgan) * lam
+                           for o_, lam in zip(outs, lambda_D))
+            w = l1_weight_map(inputs['A'], opt.weights, opt.fineSize,
+                              opt.batchSize)
+            l1 = weighted_l1_loss(fake_B, inputs['B'], w) * opt.lambda_A
+            total = loss + l1
+            return total, {'G_GAN': total, 'G_L1': l1}
+
+        return build_gan_train_step(
+            noise_shapes={'noise': self._noise_shape()},
+            forward=forward,
+            d_specs=[dict(key='D', tx=self.txD, n_update=opt.n_update_D,
+                          lr='lr', make_pairs=make_pairs, loss=d_loss)],
+            g_spec=dict(keys=['G'], tx=self.txG, n_update=opt.n_update_G,
+                        lrs={'G': 'lr'}, loss=g_loss),
+            metrics_order=['G_GAN', 'G_L1', 'D_real', 'D_fake'])
+
+    # ------------------------------------------------------------------- #
+    def optimize_parameters(self):
+        inputs = {'A': self.input_A, 'B': self.input_B}
+        self.state, self._metrics, taps = self._train_step(
+            self.state, inputs, self.next_step_key(), self.lrs())
+        self.real_A, self.real_B = self.input_A, self.input_B
+        self.fake_B = taps['fake_B']
+
+    def test(self):
+        key = self.next_test_key()
+        self.noise = jax.random.normal(jax.random.fold_in(key, 0),
+                                       self._noise_shape())
+        self.real_A = self.transform(self.input_A)
+        self.fake_B = self._g_jit(self.state['params']['G'], self.real_A,
+                                  self.noise, jax.random.fold_in(key, 1))
+        print('Random check: {}'.format(float(self.noise[0, 0, 0, 0])))
+
+    def get_current_errors(self):
+        return OrderedDict((k, float(v)) for k, v in self._metrics.items())
+
+    def get_current_visuals(self, save_as_single_image=False):
+        if self.isTrain:
+            return OrderedDict([('real_A', tensor2im(self.real_A)),
+                                ('fake_B', tensor2im(self.fake_B)),
+                                ('real_B', tensor2im(self.real_B))])
+        if save_as_single_image:
+            ab = jnp.concatenate([self.real_A, self.fake_B], -1)
+            return OrderedDict([('AB', tensor2im(ab))])
+        return OrderedDict([('real_A', tensor2im(self.real_A)),
+                            ('fake_B', tensor2im(self.fake_B))])
+
+    def save(self, label):
+        params = jax.device_get(self.state['params'])
+        self.save_network(self.netG, params['G'], 'G', label)
+        self.save_bank(self.netD, params['D'], 'D_%d', label)
+        self.save_full_state(self.state, label, extra={'lr': self.old_lr})
+
+    def update_learning_rate(self):
+        # single-rate, unclamped (reference cgan_model.py:254-262)
+        lr = self.old_lr - self.opt.lr / self.opt.niter_decay
+        print('update learning rate: %f -> %f' % (self.old_lr, lr))
+        self.old_lr = lr
+        self.old_lr1 = self.old_lr2 = lr

@@ -1,0 +1,213 @@
+"""CGANCycle — conditional A->B GAN with a B->A reconstructor closing the
+cycle (reference models/cgan_cycle_model.py).
+
+G loss (reference :188-226):
+  GAN(D1 on (A, fakeB)) + lambda_A * WeightedL1(fakeB, B)
+  + lambda_B * BCE(G2(B) ~ A) + lambda_A_cycle * BCE(G2(G1(A)) ~ A)
+
+Known deviation (documented): with n_update_*>1 the reference's
+``sample_noise`` recomputes only fake_B/recon_A, leaving ``fake_A`` attached
+to the pre-resample graph (reference :145-151); we recompute the full
+forward on resample.  The published recipes use n_update 1/2 where the
+difference only affects which noise2 feeds the CE term on repeats.
+"""
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+
+from .two_group import TwoGroupModel
+from .base import adam_transform
+from .common import (build_gan_train_step, bank_apply, g_apply,
+                     l1_weight_map)
+from .pools import init_pool, pool_query
+from .. import nn
+from ..nn.losses import gan_loss, weighted_l1_loss, bce_loss
+from ..utils.images import tensor2im
+
+
+class CGANCycleModel(TwoGroupModel):
+    def name(self):
+        return 'cGANCycleModel'
+
+    def initialize(self, opt):
+        TwoGroupModel.initialize(self, opt)
+        self.netG1 = self.build_G(opt.input_nc, opt.output_nc, suffix='1')
+        self.netG2 = self.build_G(opt.output_nc, opt.input_nc, suffix='2')
+        keys = jax.random.split(self.init_key, 16)
+        params = {'G1': self.netG1.init(keys[0]),
+                  'G2': self.netG2.init(keys[1])}
+
+        if self.isTrain:
+            d_in = opt.output_nc if opt.no_cgan \
+                else opt.output_nc + opt.input_nc
+            self.netD1 = self.build_D_bank(d_in, suffix='1')
+            params['D1'] = self.init_bank(self.netD1, keys[2])
+
+        if self.isTrain and opt.sequential_train:
+            mdir = opt.pretrained_model_dir
+            ep = opt.which_epoch_sequential
+            if 'G1' in opt.which_model_to_load:
+                params['G1'] = self.load_network(self.netG1, 'G1', ep, mdir)
+            if 'G2' in opt.which_model_to_load:
+                params['G2'] = self.load_network(self.netG2, 'G2', ep, mdir)
+            if 'D1' in opt.which_model_to_load:
+                params['D1'] = self.load_bank(self.netD1, 'D1_%d', ep, mdir)
+        if not self.isTrain or opt.continue_train:
+            params['G1'] = self.load_network(self.netG1, 'G1', opt.which_epoch)
+            params['G2'] = self.load_network(self.netG2, 'G2', opt.which_epoch)
+            if self.isTrain:
+                params['D1'] = self.load_bank(self.netD1, 'D1_%d',
+                                              opt.which_epoch)
+
+        state = {'params': params, 'opt': {}, 'pools': {}}
+        if self.isTrain:
+            self.txG = adam_transform(opt.beta1)
+            self.txD1 = adam_transform(opt.beta1)
+            state['opt'] = {
+                'G': self.txG.init({'G1': params['G1'], 'G2': params['G2']}),
+                'D1': self.txD1.init(params['D1'])}
+            pool_nc = opt.output_nc if opt.no_cgan \
+                else opt.input_nc + opt.output_nc
+            state['pools'] = {'pool1': init_pool(
+                opt.pool_size, (opt.fineSize, opt.fineSize, pool_nc))}
+            if opt.continue_train:
+                restored = self.load_full_state(opt.which_epoch)
+                if restored is not None:
+                    state = restored['state']
+            self._train_step = jax.jit(self._build_train_step(),
+                                       donate_argnums=(0,))
+        self.state = jax.device_put(state)
+
+        cd = self.compute_dtype
+        self._g1_jit = jax.jit(lambda p, x, n, fk: g_apply(
+            self.netG1, p, nn.Ctx(fk, compute_dtype=cd), x=x, noise=n))
+
+        print('------------ Networks initialized -------------')
+        nn.print_network(self.netG1, params['G1'], 'G1')
+        nn.print_network(self.netG2, params['G2'], 'G2')
+        if self.isTrain:
+            for i, d in enumerate(self.netD1):
+                nn.print_network(d, params['D1'][str(i)], 'D1_%d' % i)
+        print('-----------------------------------------------')
+
+    def _noise_shapes(self):
+        o = self.opt
+        return {'noise1': (o.batchSize, o.noiseSize1, o.noiseSize1,
+                           o.noise_nc1),
+                'noise2': (o.batchSize, o.noiseSize2, o.noiseSize2,
+                           o.noise_nc2)}
+
+    def _build_train_step(self):
+        opt = self.opt
+        netG1, netG2, netD1 = self.netG1, self.netG2, self.netD1
+        lsgan1 = not opt.no_lsgan1
+        lambda_D1 = tuple(opt.lambda_D1)
+        cd = self.compute_dtype
+
+        def ctx(fkey=None):
+            return nn.Ctx(fkey, compute_dtype=cd)
+
+        def forward(params, inputs, noises, fkey):
+            fk = [jax.random.fold_in(fkey, i) for i in range(3)]
+            fake_B = g_apply(netG1, params['G1'], ctx(fk[0]), x=inputs['A'],
+                             noise=noises['noise1'])
+            fake_A = g_apply(netG2, params['G2'], ctx(fk[1]), x=inputs['B'],
+                             noise=noises['noise2'])
+            recon_A = g_apply(netG2, params['G2'], ctx(fk[2]), x=fake_B,
+                              noise=noises['noise2'])
+            return {'fake_B': fake_B, 'fake_A': fake_A, 'recon_A': recon_A}
+
+        def cat_pair(a, b):
+            return b if opt.no_cgan else jnp.concatenate([a, b], -1)
+
+        def d1_pairs(taps, pools, key, inputs):
+            fake, p1 = pool_query(pools['pool1'],
+                                  cat_pair(inputs['A'], taps['fake_B']), key)
+            return {'fake': fake}, {**pools, 'pool1': p1}
+
+        def d1_loss(pD, pairs, inputs, all_params):
+            real = cat_pair(inputs['A'], inputs['B'])
+            lf = sum(gan_loss(o_, False, lsgan1)
+                     for o_ in bank_apply(netD1, pD, pairs['fake'], ctx))
+            lr_ = sum(gan_loss(o_, True, lsgan1)
+                      for o_ in bank_apply(netD1, pD, real, ctx))
+            total = (lf + lr_) * 0.5
+            return total, {'D1': total}
+
+        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
+            taps = forward(g_params, inputs, noises, fkey)
+            real_A, real_B = inputs['A'], inputs['B']
+            fake = cat_pair(real_A, taps['fake_B'])
+            gan = 0.0
+            for o_, lam in zip(bank_apply(netD1, all_params['D1'], fake, ctx),
+                               lambda_D1):
+                if not opt.no_logD_trick:
+                    gan += gan_loss(o_, True, lsgan1) * lam
+                else:
+                    gan += -gan_loss(o_, False, lsgan1) * lam
+            w = l1_weight_map(real_A, opt.weights, opt.fineSize,
+                              opt.batchSize)
+            l1 = weighted_l1_loss(taps['fake_B'], real_B, w)
+            ce = bce_loss((taps['fake_A'] + 1) / 2, (real_A + 1) / 2)
+            cyc = bce_loss((taps['recon_A'] + 1) / 2, (real_A + 1) / 2)
+            total = (gan + l1 * opt.lambda_A + ce * opt.lambda_B
+                     + cyc * opt.lambda_A_cycle)
+            return total, {'G1': total, 'G2': cyc}
+
+        return build_gan_train_step(
+            noise_shapes=self._noise_shapes(),
+            forward=forward,
+            d_specs=[dict(key='D1', tx=self.txD1, n_update=opt.n_update_D1,
+                          lr='lr1', make_pairs=d1_pairs, loss=d1_loss)],
+            g_spec=dict(keys=['G1', 'G2'], tx=self.txG,
+                        n_update=opt.n_update_G,
+                        lrs={'G1': 'lr1', 'G2': 'lr2'}, loss=g_loss),
+            metrics_order=['G1', 'G2', 'D1'])
+
+    # ------------------------------------------------------------------- #
+    def optimize_parameters(self):
+        inputs = {'A': self.input_A, 'B': self.input_B}
+        self.state, self._metrics, taps = self._train_step(
+            self.state, inputs, self.next_step_key(), self.lrs())
+        self.real_A, self.real_B = self.input_A, self.input_B
+        self._taps = taps
+
+    def test(self):
+        key = self.next_test_key()
+        shapes = self._noise_shapes()
+        self.noise1 = jax.random.normal(jax.random.fold_in(key, 0),
+                                        shapes['noise1'])
+        self.noise2 = jax.random.normal(jax.random.fold_in(key, 1),
+                                        shapes['noise2'])
+        self.real_A = self.input_A
+        self.fake_B = self._g1_jit(self.state['params']['G1'], self.real_A,
+                                   self.noise1, jax.random.fold_in(key, 2))
+        print('Random check: {}, {}'.format(
+            float(self.noise1[0, 0, 0, 0]), float(self.noise2[0, 0, 0, 0])))
+
+    def get_current_errors(self):
+        return OrderedDict((k, float(v)) for k, v in self._metrics.items())
+
+    def get_current_visuals(self, save_as_single_image=False):
+        if self.isTrain:
+            t = self._taps
+            return OrderedDict([('real_A', tensor2im(self.real_A)),
+                                ('real_B', tensor2im(self.real_B)),
+                                ('fake_B', tensor2im(t['fake_B'])),
+                                ('recon_A', tensor2im(t['recon_A']))])
+        if save_as_single_image:
+            ab = jnp.concatenate([self.real_A, self.fake_B], -1)
+            return OrderedDict([('AB', tensor2im(ab))])
+        return OrderedDict([('real_A', tensor2im(self.real_A)),
+                            ('fake_B', tensor2im(self.fake_B))])
+
+    def save(self, label):
+        params = jax.device_get(self.state['params'])
+        self.save_network(self.netG1, params['G1'], 'G1', label)
+        self.save_network(self.netG2, params['G2'], 'G2', label)
+        self.save_bank(self.netD1, params['D1'], 'D1_%d', label)
+        self.save_full_state(self.state, label,
+                             extra={'lr': self.old_lr, 'lr1': self.old_lr1,
+                                    'lr2': self.old_lr2})

@@ -1,0 +1,189 @@
+"""Shared GAN-recipe machinery (the "composition algebra").
+
+The reference implements 11 recipes as near-duplicate 300-500 line classes
+(models/*_model.py).  Every one of them is the same shape:
+
+  (set of nets) x (forward graph -> taps) x (loss terms over taps)
+                x (alternating update schedule with noise resampling)
+
+Here that shape is data: ``build_gan_train_step`` assembles ONE jitted,
+donated-state XLA program per recipe from
+  * noise specs           (shape per named noise stream),
+  * a pure ``forward``    (params, inputs, noises, fkey) -> taps dict,
+  * D specs               (params subtree, pair builder with device-pool
+                           queries, loss over pairs, n_update, lr name),
+  * a G spec              (subtree names, loss terms recomputing the forward
+                           for gradients, per-subtree lr names, n_update).
+
+Faithfulness notes:
+  * In the reference, D losses backprop into a shared autograd graph and
+    must ``.detach()`` fakes; functionally, D-loss gradients are taken only
+    w.r.t. D params so taps are constants — no detach needed.
+  * ``resample``: models with n_update>1 redraw noise and recompute the
+    forward after *every* repeat, including the last (reference
+    fcgan_model.py:178-193) — so the post-step visuals reflect the redrawn
+    noise.  The G-loss recomputes the generator forward with the *same*
+    noise AND the same dropout key, which reproduces backpropagating
+    through the stored graph exactly.
+  * Adam moments are per-parameter, so one ``scale_by_adam`` over a dict of
+    subtrees is the reference's single Adam over chained param groups;
+    per-group learning rates are applied as traced scalars at update time
+    (so the linear per-epoch decay never triggers a recompile).
+"""
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+
+from .base import apply_adam
+
+
+def g_apply(net, params, ctx, x=None, noise=None, activation='tanh'):
+    """Uniform generator invocation across zoo signatures: fcgan/dcgan take
+    only noise; CRN takes (label, noise); unet/resnet/autoencoder take x and
+    ignore noise (reference models/networks.py:362-367,535,711)."""
+    from ..nn.generators import (FCGANGenerator, FCGANGeneratorStar,
+                                 DCGANGenerator, CascadedRefinementNetwork)
+    if isinstance(net, (FCGANGenerator, FCGANGeneratorStar, DCGANGenerator)):
+        return net.apply(params, noise, ctx, activation=activation)
+    if isinstance(net, CascadedRefinementNetwork):
+        return net.apply(params, x, noise, ctx, activation=activation)
+    return net.apply(params, x, ctx, noise=noise, activation=activation)
+
+
+def make_transform(transform_1to2):
+    """The G1-output -> G2-input coupling pair: bilinear x-sc upsample and
+    its AvgPool inverse (reference models/cgan_model.py:51-57)."""
+    from ..ops import bilinear_upsample, avg_pool
+    if 'bilinear' in transform_1to2:
+        sc = int(transform_1to2.split('_')[1])
+        return (lambda x: bilinear_upsample(x, sc),
+                lambda x: avg_pool(x, sc, sc))
+    return (lambda x: x), (lambda x: x)
+
+
+def l1_weight_map(real_A, weights, fine_size, batch_size):
+    """Per-pixel weight map for WeightedL1: 1 + sum_i A_i*(w_i - 1) on the
+    [0,1]-rescaled label channels (reference models/cgan_model.py:197-205)."""
+    if weights is None:
+        return None
+    w = jnp.ones((batch_size, fine_size, fine_size, 1), jnp.float32)
+    a = (jax.lax.stop_gradient(real_A) + 1) / 2
+    for i, wi in enumerate(weights):
+        w = w + a[..., i:i + 1] * (wi - 1.0)
+    return w
+
+
+def mul_padded(in1, in2):
+    """Size-matched elementwise product with reflection-pad centering
+    (reference util/util.py:131-145): pads in1 to in2's spatial size with
+    left/bottom getting the floor of the split, then multiplies."""
+    from ..ops import reflection_pad2d
+    if in1.shape == in2.shape:
+        return in1 * in2
+    h1, w1 = in1.shape[1], in1.shape[2]
+    h2, w2 = in2.shape[1], in2.shape[2]
+    pad_l = (w2 - w1) // 2
+    pad_b = (h2 - h1) // 2
+    pad_r = w2 - w1 - pad_l
+    pad_t = h2 - h1 - pad_b
+    return reflection_pad2d(in1, (pad_l, pad_r, pad_t, pad_b)) * in2
+
+
+def bank_apply(netDs, paramsD, x, ctx_factory):
+    """Run every discriminator in a bank on x."""
+    return [netDs[i].apply(paramsD[str(i)], x, ctx_factory())
+            for i in range(len(netDs))]
+
+
+def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
+                         metrics_order=None, sample_noises=None):
+    """Returns train_step(state, inputs, key, lrs) -> (state, metrics, taps).
+
+    state:  {'params': {...subtrees...}, 'opt': {subtree_or_group: opt_state},
+             'pools': {...}}
+    inputs: dict of device arrays (e.g. {'A':..., 'B':...})
+    lrs:    dict of traced lr scalars keyed by name ('lr', 'lr1', 'lr2')
+
+    d_spec fields:
+      key        params subtree name ('D', 'D1', 'D2')
+      tx         optax transform
+      n_update   static repeat count
+      lr         lrs key
+      make_pairs (taps, pools, key, inputs) -> (pairs, new_pools)  # pool queries here
+      loss       (paramsD, pairs, inputs, all_params) -> (loss, aux_dict)
+                 # all_params holds the current full params dict (constants)
+
+    g_spec fields:
+      keys       list of G subtree names (update order preserved)
+      tx, n_update, lrs (dict subtree -> lrs key)
+      loss       (g_params_dict, all_params, taps, inputs) -> (loss, aux)
+                 # must recompute the generator forward from g_params for grads
+    resample occurs when the respective n_update > 1 (reference semantics).
+    """
+    noise_names = sorted(noise_shapes)
+
+    def train_step(state, inputs, key, lrs):
+        counter = iter(range(1024))
+
+        def k():
+            return jax.random.fold_in(key, next(counter))
+
+        params = dict(state['params'])
+        opts = dict(state['opt'])
+        pools = dict(state['pools'])
+
+        def draw():
+            if sample_noises is not None:
+                noises = sample_noises(k, pools)
+            else:
+                noises = {n: jax.random.normal(k(), noise_shapes[n])
+                          for n in noise_names}
+            return noises, k()
+
+        noises, fkey = draw()
+        taps = forward(params, inputs, noises, fkey)
+        aux_all = {}
+
+        for spec in d_specs:
+            dkey = spec['key']
+            for _ in range(spec['n_update']):
+                pairs, pools = spec['make_pairs'](taps, pools, k(), inputs)
+                (_, aux), gD = jax.value_and_grad(
+                    spec['loss'], has_aux=True)(params[dkey], pairs, inputs,
+                                                params)
+                params[dkey], opts[dkey] = apply_adam(
+                    spec['tx'], gD, opts[dkey], params[dkey], lrs[spec['lr']])
+                aux_all.update(aux)
+                if spec['n_update'] > 1:
+                    noises, fkey = draw()
+                    taps = forward(params, inputs, noises, fkey)
+
+        g_keys = g_spec['keys']
+        for _ in range(g_spec['n_update']):
+            def g_loss(g_params):
+                merged = dict(params)
+                merged.update(g_params)
+                return g_spec['loss'](g_params, merged, taps, inputs,
+                                      noises, fkey)
+
+            (_, gaux), grads = jax.value_and_grad(
+                g_loss, has_aux=True)({kk: params[kk] for kk in g_keys})
+            updates, opts['G'] = g_spec['tx'].update(
+                grads, opts['G'], {kk: params[kk] for kk in g_keys})
+            for kk in g_keys:
+                lr = lrs[g_spec['lrs'][kk]]
+                params[kk] = jax.tree_util.tree_map(
+                    lambda p, u: p - lr * u, params[kk], updates[kk])
+            aux_all.update(gaux)
+            if g_spec['n_update'] > 1:
+                noises, fkey = draw()
+                taps = forward(params, inputs, noises, fkey)
+
+        new_state = {'params': params, 'opt': opts, 'pools': pools}
+        order = metrics_order or sorted(aux_all)
+        metrics = OrderedDict((name, aux_all[name]) for name in order)
+        return new_state, metrics, taps
+
+    return train_step

@@ -11,8 +11,19 @@
 import numpy as np
 
 
+def _label_components(mask_bool):
+    """8-connected component labeling of ``~mask_bool`` with background
+    (mask == True) mapped to 0 — the semantics of
+    skimage.measure.label(x, background=1) on a boolean image.  Uses
+    scipy.ndimage (skimage is not a dependency); component numbering may
+    differ from skimage's but the Rand F-score is invariant to label
+    permutation."""
+    from scipy import ndimage
+    labels, _ = ndimage.label(~mask_bool, structure=np.ones((3, 3), bool))
+    return labels
+
+
 def compute_rand_f_scores(S, T, do_thin=False):
-    from skimage import measure
     S = np.asarray(S)
     T = np.asarray(T)
     if S.ndim == 2:
@@ -26,8 +37,8 @@ def compute_rand_f_scores(S, T, do_thin=False):
         if do_thin:
             from skimage.morphology import thin
             s = thin(s)
-        t_label = measure.label(t, background=1)
-        s_label = measure.label(s, background=1)
+        t_label = _label_components(t)
+        s_label = _label_components(s)
         t_max = t_label.max()
         s_max = s_label.max()
         # joint histogram via bincount (vectorized; the reference loops pixels)
