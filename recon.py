@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 
+from supervised_gan_tpu.runtime import enable_compilation_cache
 from supervised_gan_tpu.options import TestOptions
 from supervised_gan_tpu.data import CreateDataLoader
 from supervised_gan_tpu.models import create_model
@@ -14,6 +15,7 @@ from supervised_gan_tpu.utils import html
 
 
 def main():
+    enable_compilation_cache()
     opt = TestOptions().parse()
     opt.nThreads = 1
     opt.batchSize = 1

@@ -31,6 +31,9 @@ def _collate(samples):
 class DataLoader:
     def __init__(self, opt):
         self.opt = opt
+        if getattr(opt, 'no_native_io', False):
+            from . import transforms
+            transforms._NATIVE_IO = False
         self.dataset = CreateDataset(opt)
         self.batch_size = opt.batchSize
         self.serial = opt.serial_batches

@@ -10,11 +10,24 @@ scheduling.
 Images are HWC float32 throughout (device layout NHWC).
 """
 
+import os
+
 import numpy as np
 from PIL import Image
 
+_NATIVE_IO = os.environ.get('SGAN_TPU_NO_NATIVE_IO', '') == ''
+
 
 def load_rgb(path):
+    """Load an image as PIL RGB. PNGs go through the native (GIL-free)
+    decoder when available — bit-exact with PIL since PNG is lossless —
+    so thread-pool workers overlap decode with device compute.  Set
+    SGAN_TPU_NO_NATIVE_IO=1 (or pass --no_native_io) to force PIL."""
+    if _NATIVE_IO and path.endswith(('.png', '.PNG')):
+        from . import native_io
+        arr = native_io.decode_png(path)
+        if arr is not None:
+            return Image.fromarray(arr)
     return Image.open(path).convert('RGB')
 
 

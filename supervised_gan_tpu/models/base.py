@@ -64,6 +64,18 @@ class BaseModel:
                               if opt.compute_dtype == 'bfloat16' else None)
         self.image_paths = []
 
+    def jit_train_step(self, step_fn, state_template):
+        """jit the recipe's train step; with --data_mesh N > 1 the step is
+        compiled over an N-device 1-D mesh with the batch sharded on the
+        'data' axis and state replicated (GSPMD inserts the gradient psum).
+        batchSize must then be divisible by N."""
+        n = int(getattr(self.opt, 'data_mesh', 0) or 0)
+        if n > 1:
+            from ..parallel import make_mesh, shard_train_step
+            self.mesh = make_mesh(n)
+            return shard_train_step(step_fn, self.mesh, state_template)
+        return jax.jit(step_fn, donate_argnums=(0,))
+
     # ------------------------------------------------------------- rng -- #
     def next_step_key(self):
         self._step_count += 1

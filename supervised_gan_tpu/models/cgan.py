@@ -53,8 +53,8 @@ class CGANModel(TwoGroupModel):
                 if restored is not None:
                     state = restored['state']
                     self.old_lr = restored['extra'].get('lr', opt.lr)
-            self._train_step = jax.jit(self._build_train_step(),
-                                       donate_argnums=(0,))
+            self._train_step = self.jit_train_step(
+                self._build_train_step(), state)
         self.state = jax.device_put(state)
 
         self._g_jit = jax.jit(

@@ -86,8 +86,8 @@ class FCGANModel(BaseModel):
                 if restored is not None:
                     state = restored['state']
                     self.old_lr = restored['extra'].get('lr', opt.lr)
-            self._train_step = jax.jit(self._build_train_step(),
-                                       donate_argnums=(0,))
+            self._train_step = self.jit_train_step(
+                self._build_train_step(), state)
         self.state = jax.device_put(state)
 
         # fixed noises for latent interpolation (fcgan_model.py:64-67)

@@ -28,7 +28,13 @@ def init_pool(pool_size, image_shape, dtype=jnp.float32):
 
 
 def pool_query(pool, batch, key, reject=0.5):
-    """batch: (B, H, W, C). Returns (pooled_batch, new_pool)."""
+    """batch: (B, H, W, C). Returns (pooled_batch, new_pool).
+
+    Branchless formulation: every query performs exactly one dynamic slice
+    read and one dynamic slice write (a no-op self-write when the image is
+    rejected), so under buffer donation the update is in-place with no
+    cond-branch buffer copies.
+    """
     if pool is None:
         return batch, pool
     size = pool["images"].shape[0]
@@ -36,27 +42,20 @@ def pool_query(pool, batch, key, reject=0.5):
     def step(carry, inp):
         images, num = carry
         x, k = inp
+        x = x.astype(images.dtype)
         k1, k2 = jax.random.split(k)
-
-        def not_full(args):
-            images, num = args
-            images = lax.dynamic_update_index_in_dim(images, x, num, 0)
-            return (images, num + 1), x
-
-        def full(args):
-            images, num = args
-            p = jax.random.uniform(k1)
-            rid = jax.random.randint(k2, (), 0, size)
-            old = lax.dynamic_index_in_dim(images, rid, 0, keepdims=False)
-            swap = p > reject
-            out = jnp.where(swap, old, x)
-            images = lax.cond(
-                swap,
-                lambda im: lax.dynamic_update_index_in_dim(im, x, rid, 0),
-                lambda im: im, images)
-            return (images, num), out
-
-        return lax.cond(num < size, not_full, full, (images, num))
+        not_full = num < size
+        p = jax.random.uniform(k1)
+        swap = jnp.logical_or(not_full, p > reject)
+        slot = jnp.where(not_full, num, jax.random.randint(k2, (), 0, size))
+        old = lax.dynamic_index_in_dim(images, slot, 0, keepdims=False)
+        # stored image: x when inserting/swapping, else keep (self-write)
+        stored = jnp.where(swap, x, old)
+        images = lax.dynamic_update_index_in_dim(images, stored, slot, 0)
+        # returned image: fresh while filling, evicted one on swap
+        out = jnp.where(not_full, x, jnp.where(swap, old, x))
+        num = jnp.where(not_full, num + 1, num)
+        return (images, num), out
 
     keys = jax.random.split(key, batch.shape[0])
     (images, num), outs = lax.scan(

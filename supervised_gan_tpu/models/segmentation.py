@@ -163,8 +163,8 @@ class SegmentationModel(SegAccumulatorMixin, BaseModel):
                     else opt.input_nc + self.num_classes
                 state['pools']['fake'] = init_pool(
                     opt.pool_size, (opt.fineSize, opt.fineSize, pool_nc))
-            self._train_step = jax.jit(self._build_train_step(),
-                                       donate_argnums=(0,))
+            self._train_step = self.jit_train_step(
+                self._build_train_step(), state)
         self.state = jax.device_put(state)
 
         cd = self.compute_dtype

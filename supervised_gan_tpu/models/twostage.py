@@ -84,8 +84,8 @@ class TwoStageModel(TwoGroupModel):
                 restored = self.load_full_state(opt.which_epoch)
                 if restored is not None:
                     state = restored['state']
-            self._train_step = jax.jit(self._build_train_step(),
-                                       donate_argnums=(0,))
+            self._train_step = self.jit_train_step(
+                self._build_train_step(), state)
         self.state = jax.device_put(state)
 
         cd = self.compute_dtype

@@ -119,8 +119,8 @@ class TwoStageCycleModel(TwoGroupModel):
                     self.old_lr = extra.get('lr', opt.lr)
                     self.old_lr1 = extra.get('lr1', opt.lr1)
                     self.old_lr2 = extra.get('lr2', opt.lr2)
-            self._train_step = jax.jit(self._build_train_step(),
-                                       donate_argnums=(0,))
+            self._train_step = self.jit_train_step(
+                self._build_train_step(), state)
         self.state = jax.device_put(state)
 
         cd = self.compute_dtype

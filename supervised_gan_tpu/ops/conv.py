@@ -7,12 +7,13 @@ configuration the reference zoo uses (reference models/networks.py — k4s2p1
 PatchGAN/DCGAN stacks, 3x3 s1 p1 CRN convs, 7x7 resnet stem).
 
 Mixed precision: inputs/kernels may be cast to ``compute_dtype`` (bfloat16 on
-TPU).  The conv itself then runs in that dtype (the TPU MXU accumulates
-bf16 x bf16 products in float32 in hardware) and the result is cast back to
-float32 afterwards.  We deliberately do NOT pass ``preferred_element_type``
-with mixed-precision inputs: jax's conv transpose rule would then pair a
-bf16 operand with the f32 cotangent and fail; the explicit output cast keeps
-the VJP dtypes consistent.
+TPU).  The conv runs and *stays* in that dtype (the TPU MXU accumulates
+bf16 x bf16 products in float32 in hardware); activations remain bf16
+through the network to halve HBM traffic — norm layers compute their
+statistics in float32 and cast back.  We deliberately do NOT pass
+``preferred_element_type`` with mixed-precision inputs: jax's conv
+transpose rule would then pair a bf16 operand with the f32 cotangent and
+fail.
 """
 
 import jax
@@ -37,9 +38,8 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     y = lax.conv_general_dilated(
         x, w, window_strides=s, padding=p, dimension_numbers=_DIMS)
-    y = y.astype(jnp.float32)
     if b is not None:
-        y = y + b
+        y = y + b.astype(y.dtype)
     return y
 
 
@@ -66,9 +66,8 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
                  (kw - 1 - pw, kw - 1 - pw + op)),
         lhs_dilation=s,
         dimension_numbers=_DIMS)
-    y = y.astype(jnp.float32)
     if b is not None:
-        y = y + b
+        y = y + b.astype(y.dtype)
     return y
 
 
@@ -77,7 +76,6 @@ def depthwise_conv2d(x, w, stride=1, padding=0, compute_dtype=None):
     x, w = _cast(x, w, compute_dtype)
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
-    y = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x, w, window_strides=s, padding=p,
         dimension_numbers=_DIMS, feature_group_count=x.shape[-1])
-    return y.astype(jnp.float32)

@@ -21,11 +21,12 @@ from jax import lax
 
 
 def instance_norm(x, eps=1e-5):
-    """x: (N,H,W,C) -> per-(N,C) spatially normalized, no affine."""
+    """x: (N,H,W,C) -> per-(N,C) spatially normalized, no affine.
+    Statistics in float32; output keeps x's dtype (bf16 stays bf16)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    return (x32 - mean) * lax.rsqrt(var + eps)
+    return ((x32 - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def batch_norm(x, weight, bias, eps=1e-5):
@@ -33,5 +34,6 @@ def batch_norm(x, weight, bias, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2), keepdims=True)
-    y = (x32 - mean) / jnp.sqrt(var + eps)
-    return y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)

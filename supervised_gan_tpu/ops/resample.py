@@ -51,7 +51,7 @@ def bilinear_upsample(x, scale, align_corners=True):
     y = jnp.einsum('oh,nhwc->nowc', Ah, x.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     y = jnp.einsum('pw,nhwc->nhpc', Aw, y, preferred_element_type=jnp.float32)
-    return y
+    return y.astype(x.dtype)
 
 
 def avg_pool(x, kernel, stride=None, padding=0):
@@ -62,7 +62,7 @@ def avg_pool(x, kernel, stride=None, padding=0):
     p = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     y = lax.reduce_window(x.astype(jnp.float32), 0.0, lax.add,
                           (1, k[0], k[1], 1), (1, s[0], s[1], 1), p)
-    return y / (k[0] * k[1])
+    return (y / (k[0] * k[1])).astype(x.dtype)
 
 
 def matlab_gauss2d(shape=(3, 3), sigma=0.5):
@@ -89,18 +89,44 @@ def gauss_blur_kernel(scale_factor):
     return k.reshape(kw, kw, 1, 1)
 
 
+def _blur_matrix(size, scale_factor, dtype=np.float32):
+    """(ceil(size/s), size) matrix: rows are the 1-D Gaussian (fspecial is
+    separable: gauss2d = outer(g, g)) centered at the stride-s sample
+    positions with zero padding 2*sigma — so two matmuls reproduce the
+    depthwise blur + subsample exactly, but on the MXU instead of a
+    lane-padded depthwise conv (C is tiny here)."""
+    sigma = scale_factor // 2
+    kw = 4 * sigma + 1
+    g = matlab_gauss2d((kw, 1), sigma)[:, 0]
+    # normalize like the 2-D kernel: outer(g1,g1) of the unnormalized 1-D
+    # gaussian, then /= sum. Our g is column-normalized; outer(g,g) of
+    # normalized 1-D == normalized 2-D since fspecial normalizes globally.
+    half = kw // 2  # == 2*sigma == conv padding: output size preserved
+    out_size = -(-size // scale_factor)
+    A = np.zeros((out_size, size), dtype=dtype)
+    for o in range(out_size):
+        center = o * scale_factor
+        for t in range(kw):
+            src = center + t - half
+            if 0 <= src < size:
+                A[o, src] = g[t]
+    return A
+
+
 def blur_downsample(x, scale_factor, compute_dtype=None):
     """Gaussian blur (padding 2*sigma) + stride-``scale`` subsample.
 
-    Equivalent to the reference's frozen ``gauss_filter`` Sequential:
-    depthwise-diagonal Gaussian conv then AvgPool2d(kernel=1, stride=scale)
-    (reference models/networks.py:807-813).
+    Equivalent to the reference's frozen ``gauss_filter`` Sequential
+    (depthwise-diagonal MATLAB-fspecial conv then AvgPool2d(k=1, s=scale),
+    reference models/networks.py:807-813), implemented as two separable
+    interpolation-matrix contractions so the work lands on the MXU.
     """
     if scale_factor <= 1:
         return x
-    sigma = scale_factor // 2
-    kern = jnp.asarray(gauss_blur_kernel(scale_factor))
-    kern = jnp.broadcast_to(kern, kern.shape[:2] + (1, x.shape[-1]))
-    y = depthwise_conv2d(x, kern, stride=1, padding=2 * sigma,
-                         compute_dtype=compute_dtype)
-    return y[:, ::scale_factor, ::scale_factor, :]
+    n, h, w, c = x.shape
+    Ah = jnp.asarray(_blur_matrix(h, scale_factor))
+    Aw = jnp.asarray(_blur_matrix(w, scale_factor))
+    y = jnp.einsum('oh,nhwc->nowc', Ah, x.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum('pw,nhwc->nhpc', Aw, y, preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)

@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache.
+
+The fused recipe train steps are large XLA programs (the DSGAN step
+contains ~17 network passes plus their gradients); first compilation takes
+minutes.  Caching the serialized executables on disk makes every later
+run of the same (recipe, shapes) config start in seconds — including the
+driver's bench runs.  Called by every entry-point driver and bench.py.
+"""
+
+import os
+
+
+def enable_compilation_cache(cache_dir=None):
+    import jax
+    path = cache_dir or os.environ.get(
+        'SGAN_TPU_XLA_CACHE',
+        os.path.join(os.path.expanduser('~'), '.cache', 'sgan_tpu_xla'))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print('compilation cache disabled: %s' % e)
+    return path

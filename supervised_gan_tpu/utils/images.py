@@ -28,6 +28,30 @@ def save_image(image_numpy, image_path):
     Image.fromarray(image_numpy).save(image_path)
 
 
+def diagnose_network(grads, name='network'):
+    """Mean absolute gradient across a gradient pytree — the reference's
+    manual debugging probe (util/util.py:27-37)."""
+    import jax
+    leaves = [np.abs(np.asarray(g)).mean()
+              for g in jax.tree_util.tree_leaves(grads)]
+    mean = float(np.mean(leaves)) if leaves else 0.0
+    print(name)
+    print(mean)
+    return mean
+
+
+def print_numpy(x, val=True, shp=False):
+    """Summary stats printer (reference util/util.py:62-70)."""
+    x = np.asarray(x).astype(np.float64)
+    if shp:
+        print('shape,', x.shape)
+    if val:
+        x = x.flatten()
+        print('mean = %3.3f, min = %3.3f, max = %3.3f, median = %3.3f, '
+              'std=%3.3f' % (np.mean(x), np.min(x), np.max(x),
+                             np.median(x), np.std(x)))
+
+
 def mkdir(path):
     os.makedirs(path, exist_ok=True)
 

@@ -9,6 +9,7 @@ directory layout the MATLAB evaluation tower consumes.
 
 import os
 
+from supervised_gan_tpu.runtime import enable_compilation_cache
 from supervised_gan_tpu.options import TestOptions
 from supervised_gan_tpu.data import CreateDataLoader
 from supervised_gan_tpu.models import create_model
@@ -17,6 +18,7 @@ from supervised_gan_tpu.utils import html
 
 
 def main():
+    enable_compilation_cache()
     opt = TestOptions().parse()
     opt.nThreads = 1
     opt.batchSize = 1

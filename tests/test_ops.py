@@ -135,7 +135,8 @@ def test_conv2d_bf16_accumulates_f32():
     y32 = ops.conv2d(jnp.asarray(x), jnp.asarray(w), padding=1)
     ybf = ops.conv2d(jnp.asarray(x), jnp.asarray(w), padding=1,
                      compute_dtype=jnp.bfloat16)
-    assert ybf.dtype == jnp.float32
-    # bf16 inputs, f32 accumulate: ~1e-2 relative error budget
-    err = np.abs(np.asarray(y32) - np.asarray(ybf)).max()
+    # mixed-precision path keeps activations in bf16 (less HBM traffic);
+    # the MXU still accumulates in f32 so the values stay close
+    assert ybf.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(y32) - np.asarray(ybf, dtype=np.float32)).max()
     assert err < 0.35, err

@@ -10,6 +10,7 @@ import time
 
 import numpy as np
 
+from supervised_gan_tpu.runtime import enable_compilation_cache
 from supervised_gan_tpu.options import TrainOptions
 from supervised_gan_tpu.data import CreateDataLoader
 from supervised_gan_tpu.models import create_model
@@ -17,6 +18,7 @@ from supervised_gan_tpu.utils.visualizer import Visualizer
 
 
 def main():
+    enable_compilation_cache()
     opt = TrainOptions().parse()
 
     if opt.manualSeed is None:

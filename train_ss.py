@@ -14,6 +14,7 @@ import time
 
 import numpy as np
 
+from supervised_gan_tpu.runtime import enable_compilation_cache
 from supervised_gan_tpu.options import TrainOptions
 from supervised_gan_tpu.data import CreateDataLoader
 from supervised_gan_tpu.models import create_model
@@ -22,6 +23,7 @@ from supervised_gan_tpu.utils.images import save_image, mkdir
 
 
 def main():
+    enable_compilation_cache()
     opt_train = TrainOptions().parse()
     opt_val = TrainOptions().parse()
 
