@@ -62,6 +62,11 @@ class BaseModel:
         self._test_count = 0
         self.compute_dtype = (jnp.bfloat16
                               if opt.compute_dtype == 'bfloat16' else None)
+        # fused norm+activation dispatch (XLA-fused expression by default,
+        # Mosaic kernel behind SGAN_TPU_PALLAS_IN=1); pure function of the
+        # same math, so it is enabled on every backend unless --no_pallas.
+        from ..nn.core import set_pallas_enabled
+        set_pallas_enabled(not getattr(opt, 'no_pallas', False))
         self.image_paths = []
 
     def jit_train_step(self, step_fn, state_template):

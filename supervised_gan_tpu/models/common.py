@@ -97,6 +97,39 @@ def bank_apply(netDs, paramsD, x, ctx_factory):
             for i in range(len(netDs))]
 
 
+def bank_apply_multi(netDs, paramsD, xs, ctx_factory):
+    """Run every discriminator once on the batch-stacked inputs.
+
+    The recipes evaluate each D on several same-shaped tensors (fake pair,
+    real pair, ...) — at batch 1 each pass under-fills the MXU, so stacking
+    them into one batch-n invocation is pure throughput.  Per-sample ops
+    (instance norm, the blur front-end) make this exactly equivalent to
+    separate passes.  Returns [per-input][per-D] prediction maps.
+    """
+    n = len(xs)
+    if n == 1:
+        return [bank_apply(netDs, paramsD, xs[0], ctx_factory)]
+    b = xs[0].shape[0]
+    stacked = jnp.concatenate(xs, 0)
+    outs = bank_apply(netDs, paramsD, stacked, ctx_factory)
+    return [[o[j * b:(j + 1) * b] for o in outs] for j in range(n)]
+
+
+def g_apply_multi(net, params, ctx, xs, noise=None, activation='tanh'):
+    """Run a (per-sample-normalized) generator once on batch-stacked inputs;
+    returns the per-input outputs.  noise is tiled along batch."""
+    n = len(xs)
+    if n == 1:
+        return [g_apply(net, params, ctx, x=xs[0], noise=noise,
+                        activation=activation)]
+    b = xs[0].shape[0]
+    stacked = jnp.concatenate(xs, 0)
+    noise_n = None if noise is None else jnp.concatenate([noise] * n, 0)
+    out = g_apply(net, params, ctx, x=stacked, noise=noise_n,
+                  activation=activation)
+    return [out[j * b:(j + 1) * b] for j in range(n)]
+
+
 def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
                          metrics_order=None, sample_noises=None):
     """Returns train_step(state, inputs, key, lrs) -> (state, metrics, taps).

@@ -24,8 +24,8 @@ from jax import lax
 
 from .two_group import TwoGroupModel
 from .base import adam_transform
-from .common import (build_gan_train_step, bank_apply, g_apply,
-                     l1_weight_map)
+from .common import (build_gan_train_step, bank_apply, bank_apply_multi,
+                     g_apply, g_apply_multi, l1_weight_map)
 from .pools import init_pool, pool_query, pool_sample, pool_fill
 from .. import nn
 from ..nn.losses import gan_loss, gan_loss_multiclass, weighted_l1_loss, bce_loss
@@ -182,17 +182,37 @@ class TwoStageCycleModel(TwoGroupModel):
         def ctx(fkey=None):
             return nn.Ctx(fkey, compute_dtype=cd)
 
+        # per-sample norms (instance) make batch-stacking the repeated
+        # G2/F2/D passes exactly equivalent to separate calls; batch norm
+        # would mix statistics across the stacked samples, so fall back.
+        can_batch = opt.norm == 'instance'
+
         def forward(params, inputs, noises, fkey):
             fk = [jax.random.fold_in(fkey, i) for i in range(8)]
             fake_A = g_apply(netG1, params['G1'], ctx(fk[0]),
                              noise=noises['noise1'])
+            x_in = transform(fake_A)
+            if opt.detach_G1_from_G2_x:
+                x_in = lax.stop_gradient(x_in)
+            if can_batch:
+                fake_B_from_real_A, fake_B_from_fake_A = g_apply_multi(
+                    netG2, params['G2'], ctx(fk[2]), [inputs['A'], x_in],
+                    noise=noises['noise2'])
+                (fake_A_from_real_B, recon_real_A,
+                 recon_fake_A) = g_apply_multi(
+                    netF2, params['F2'], ctx(fk[1]),
+                    [inputs['B'], fake_B_from_real_A, fake_B_from_fake_A],
+                    noise=noises['noise2'])
+                return {'fake_A': fake_A,
+                        'fake_A_from_real_B': fake_A_from_real_B,
+                        'fake_B_from_real_A': fake_B_from_real_A,
+                        'fake_B_from_fake_A': fake_B_from_fake_A,
+                        'recon_real_A': recon_real_A,
+                        'recon_fake_A': recon_fake_A}
             fake_A_from_real_B = g_apply(netF2, params['F2'], ctx(fk[1]),
                                          x=inputs['B'], noise=noises['noise2'])
             fake_B_from_real_A = g_apply(netG2, params['G2'], ctx(fk[2]),
                                          x=inputs['A'], noise=noises['noise2'])
-            x_in = transform(fake_A)
-            if opt.detach_G1_from_G2_x:
-                x_in = lax.stop_gradient(x_in)
             fake_B_from_fake_A = g_apply(netG2, params['G2'], ctx(fk[3]),
                                          x=x_in, noise=noises['noise2'])
             recon_real_A = g_apply(netF2, params['F2'], ctx(fk[4]),
@@ -223,10 +243,14 @@ class TwoStageCycleModel(TwoGroupModel):
 
         def d1_loss(pD, pairs, inputs, all_params):
             real = transform_inverse(inputs['A'])
-            lf = sum(gan_loss(o_, False, lsgan1)
-                     for o_ in bank_apply(netD1, pD, pairs['fake'], ctx))
-            lr_ = sum(gan_loss(o_, True, lsgan1)
-                      for o_ in bank_apply(netD1, pD, real, ctx))
+            if can_batch:
+                outs_f, outs_r = bank_apply_multi(
+                    netD1, pD, [pairs['fake'], real], ctx)
+            else:
+                outs_f = bank_apply(netD1, pD, pairs['fake'], ctx)
+                outs_r = bank_apply(netD1, pD, real, ctx)
+            lf = sum(gan_loss(o_, False, lsgan1) for o_ in outs_f)
+            lr_ = sum(gan_loss(o_, True, lsgan1) for o_ in outs_r)
             total = (lf + lr_) * 0.5
             return total, {'D1': total}
 
@@ -262,22 +286,24 @@ class TwoStageCycleModel(TwoGroupModel):
 
         def d2_loss(pD, pairs, inputs, all_params):
             real = cat_pair(inputs['A'], inputs['B'])
+            fakes = list(pairs.values())
+            if can_batch:
+                outs = bank_apply_multi(netD2, pD, fakes + [real], ctx)
+            else:
+                outs = [bank_apply(netD2, pD, x, ctx)
+                        for x in fakes + [real]]
             if not multiclass:
-                loss_fake = 0.0
-                for fake in pairs.values():
-                    loss_fake += sum(gan_loss(o_, False, lsgan2)
-                                     for o_ in bank_apply(netD2, pD, fake, ctx))
-                loss_fake = loss_fake / len(pairs)
+                loss_fake = sum(gan_loss(o_, False, lsgan2)
+                                for fake_outs in outs[:-1]
+                                for o_ in fake_outs) / len(fakes)
                 loss_real = sum(gan_loss(o_, True, lsgan2)
-                                for o_ in bank_apply(netD2, pD, real, ctx))
+                                for o_ in outs[-1])
                 total = (loss_fake + loss_real) * 0.5
             else:
-                l0 = sum(gan_loss_multiclass(o_, 0)
-                         for o_ in bank_apply(netD2, pD, real, ctx))
-                l1 = sum(gan_loss_multiclass(o_, 1)
-                         for o_ in bank_apply(netD2, pD, pairs['c1'], ctx))
-                l2 = sum(gan_loss_multiclass(o_, 2)
-                         for o_ in bank_apply(netD2, pD, pairs['c2'], ctx))
+                # pairs order: c1, c2 (classes 1, 2); real is class 0
+                l1 = sum(gan_loss_multiclass(o_, 1) for o_ in outs[0])
+                l2 = sum(gan_loss_multiclass(o_, 2) for o_ in outs[1])
+                l0 = sum(gan_loss_multiclass(o_, 0) for o_ in outs[-1])
                 total = (l0 + l1 + l2) / 3
             return total, {'D2': total}
 
@@ -296,31 +322,29 @@ class TwoStageCycleModel(TwoGroupModel):
                     g1 += -gan_loss(o_, False, lsgan1) * lam
 
             flipped = 0 if multiclass else True
-            g2 = 0.0
-            num_pairs = 0
-
-            def d2_term(fake):
-                t = 0.0
-                for o_, lam in zip(bank_apply(netD2, pD2, fake, ctx),
-                                   lambda_D2):
-                    if multiclass:
-                        t += gan_loss_multiclass(o_, flipped) * lam
-                    elif not opt.no_logD_trick:
-                        t += gan_loss(o_, True, lsgan2) * lam
-                    else:
-                        t += -gan_loss(o_, False, lsgan2) * lam
-                return t
-
+            g2_pairs = []
             if 'real_fake' in opt.GAN_losses_G2:
-                g2 += d2_term(cat_pair(real_A, taps['fake_B_from_real_A']))
-                num_pairs += 1
+                g2_pairs.append(cat_pair(real_A, taps['fake_B_from_real_A']))
             if 'fake_fake' in opt.GAN_losses_G2:
                 label_part = transform(taps['fake_A'])
                 if opt.detach_G1_from_G2_y:
                     label_part = lax.stop_gradient(label_part)
-                g2 += d2_term(cat_pair(label_part,
-                                       taps['fake_B_from_fake_A']))
-                num_pairs += 1
+                g2_pairs.append(cat_pair(label_part,
+                                         taps['fake_B_from_fake_A']))
+            num_pairs = len(g2_pairs)
+            if can_batch:
+                g2_outs = bank_apply_multi(netD2, pD2, g2_pairs, ctx)
+            else:
+                g2_outs = [bank_apply(netD2, pD2, x, ctx) for x in g2_pairs]
+            g2 = 0.0
+            for outs in g2_outs:
+                for o_, lam in zip(outs, lambda_D2):
+                    if multiclass:
+                        g2 += gan_loss_multiclass(o_, flipped) * lam
+                    elif not opt.no_logD_trick:
+                        g2 += gan_loss(o_, True, lsgan2) * lam
+                    else:
+                        g2 += -gan_loss(o_, False, lsgan2) * lam
 
             if 'real_fake' in opt.GAN_losses_G2:
                 w = l1_weight_map(real_A, opt.weights, opt.fineSize,

@@ -82,8 +82,21 @@ class Layer:
         return {}
 
 
+# Pallas kernel dispatch: set from --no_pallas / platform at model init.
+PALLAS_ENABLED = False
+
+
+def set_pallas_enabled(flag):
+    global PALLAS_ENABLED
+    PALLAS_ENABLED = bool(flag)
+
+
 class Sequential(Layer):
-    """Position-indexed container; params keyed '0', '1', ... like torch."""
+    """Position-indexed container; params keyed '0', '1', ... like torch.
+
+    Applies a peephole fusion when Pallas is enabled: an InstanceNorm2d
+    immediately followed by LeakyReLU/ReLU dispatches to the fused
+    single-pass TPU kernel (ops/pallas/instance_norm.py)."""
 
     def __init__(self, *layers):
         self.layers = list(layers)
@@ -98,8 +111,21 @@ class Sequential(Layer):
         return params
 
     def apply(self, params, x, ctx):
-        for i, layer in enumerate(self.layers):
+        i = 0
+        n = len(self.layers)
+        while i < n:
+            layer = self.layers[i]
+            if PALLAS_ENABLED and isinstance(layer, InstanceNorm2d) \
+                    and i + 1 < n \
+                    and isinstance(self.layers[i + 1], (LeakyReLU, ReLU)):
+                from ..ops.pallas import fused_instance_norm_act
+                nxt = self.layers[i + 1]
+                slope = nxt.slope if isinstance(nxt, LeakyReLU) else 0.0
+                x = fused_instance_norm_act(x, layer.eps, slope)
+                i += 2
+                continue
             x = layer.apply(params.get(str(i), {}), x, ctx)
+            i += 1
         return x
 
     def children(self):

@@ -63,4 +63,8 @@ class TrainOptions(BaseOptions):
         p.add_argument('--lambda_G1', type=float, default=1, help='weight for G1 GAN loss')
         p.add_argument('--lambda_G2', type=float, default=1, help='weight for G2 GAN loss')
 
+        p.add_argument('--profile_dir', type=str, default='',
+                       help='if set, capture a jax.profiler trace of steps '
+                            '10-20 into this directory (TPU timeline)')
+
         self.isTrain = True

@@ -52,6 +52,27 @@ def print_numpy(x, val=True, shp=False):
                              np.median(x), np.std(x)))
 
 
+def varname(p):
+    """Name of the variable passed at the call site (reference
+    util/util.py:73-78)."""
+    import inspect
+    import re
+    for line in inspect.getframeinfo(inspect.currentframe().f_back)[3]:
+        m = re.search(r'\bvarname\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)', line)
+        if m:
+            return m.group(1)
+
+
+def info(obj, spacing=10, collapse=1):
+    """Print an object's callable methods and doc strings (reference
+    util/util.py:44-52)."""
+    method_list = [e for e in dir(obj) if callable(getattr(obj, e))]
+    fmt = (lambda s: " ".join(s.split())) if collapse else (lambda s: s)
+    print("\n".join("%s %s" % (m.ljust(spacing),
+                               fmt(str(getattr(obj, m).__doc__)))
+                    for m in method_list))
+
+
 def mkdir(path):
     os.makedirs(path, exist_ok=True)
 

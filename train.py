@@ -43,7 +43,15 @@ def main():
             total_steps += opt.batchSize
             epoch_iter = total_steps - dataset_size * (epoch - 1)
             model.set_input(data)
+            if opt.profile_dir and total_steps == 10 * opt.batchSize:
+                import jax
+                jax.profiler.start_trace(opt.profile_dir)
             model.optimize_parameters()
+            if opt.profile_dir and total_steps == 20 * opt.batchSize:
+                import jax
+                model.get_current_errors()  # sync before stopping the trace
+                jax.profiler.stop_trace()
+                print('profiler trace written to %s' % opt.profile_dir)
 
             if total_steps % opt.display_freq == 0:
                 visualizer.display_current_results(
