@@ -89,6 +89,12 @@ class UnalignedDataset:
         B = self.transform(load_rgb(B_path), rng)
         return {'A': A, 'B': B, 'A_paths': A_path, 'B_paths': B_path}
 
+    def load_images(self, paths, rng=None):
+        """Transform a list of image paths (reference unaligned_dataset.py:44-50)."""
+        import numpy as np
+        rng = rng or np.random.default_rng(0)
+        return [self.transform(load_rgb(p), rng) for p in paths]
+
 
 def CreateDataset(opt):
     if opt.dataset_mode == 'aligned':

@@ -104,9 +104,8 @@ class CGANModel(TwoGroupModel):
                       for o_ in bank_apply(netD, pD, real, ctx))
             return (lf + lr_) * 0.5, {'D_real': lr_, 'D_fake': lf}
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            fake_B = g_apply(netG, g_params['G'], ctx(fkey), x=inputs['A'],
-                             noise=noises['noise'])
+        def g_loss(taps, all_params, inputs, noises, fkey):
+            fake_B = taps['fake_B']
             fake = fake_B if opt.no_cgan else jnp.concatenate(
                 [inputs['A'], fake_B], -1)
             outs = bank_apply(netD, all_params['D'], fake, ctx)

@@ -127,8 +127,7 @@ class CGAN2Model(TwoGroupModel):
                       for o_ in bank_apply(netD, pD, real, ctx))
             return (lf + lr_) * 0.5, {'D_real': lr_, 'D_fake': lf}
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             if not opt.train_G_on_fake_fake_pair:
                 fake = cat_pair(inputs['A'], taps['fake_B_from_real_A'])
             else:

@@ -152,8 +152,7 @@ class CGAN2CycleModel(TwoGroupModel):
             total = (lf + lr_) * 0.5
             return total, {'D1': total}
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             real_A, real_B = inputs['A'], inputs['B']
             if not opt.train_G_on_fake_fake_pair:
                 fake = cat_pair(real_A, taps['fake_B_from_real_A'])

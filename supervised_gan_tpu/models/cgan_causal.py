@@ -158,8 +158,7 @@ class CGANCausalModel(TwoGroupModel):
                        for p in jax.tree_util.tree_leaves(pLG))
             return loss + zero, {'LG': loss}
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             real_A, real_B = inputs['A'], inputs['B']
             fake = cat_pair(real_A, taps['fake_B_from_real_A'])
             gan = 0.0

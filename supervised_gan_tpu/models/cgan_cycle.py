@@ -136,8 +136,7 @@ class CGANCycleModel(TwoGroupModel):
             total = (lf + lr_) * 0.5
             return total, {'D1': total}
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             real_A, real_B = inputs['A'], inputs['B']
             fake = cat_pair(real_A, taps['fake_B'])
             gan = 0.0

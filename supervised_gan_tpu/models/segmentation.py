@@ -267,8 +267,7 @@ class SegmentationModel(SegAccumulatorMixin, BaseModel):
                                 n_update=opt.n_update_D, lr='lr',
                                 make_pairs=make_pairs, loss=d_loss))
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             gan = 0.0
             if use_D:
                 fake = taps['fake_B'] if opt.no_cgan else jnp.concatenate(

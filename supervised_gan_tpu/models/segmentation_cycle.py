@@ -182,8 +182,7 @@ class SegmentationCycleModel(SegmentationModel):
             total = (lf + lr_) * 0.5
             return total, {}
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             fake = cat_pair(inputs['B'], taps['fake_A'])
             gan = 0.0
             for o_, lam in zip(bank_apply(netD2, all_params['D2'], fake, ctx),

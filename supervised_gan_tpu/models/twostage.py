@@ -216,8 +216,7 @@ class TwoStageModel(TwoGroupModel):
                 total = (l0 + l1 + l2) / 3
             return total, {'D2': total}
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             pD1, pD2 = all_params['D1'], all_params['D2']
             real_A, real_B = inputs['A'], inputs['B']
             g1 = 0.0

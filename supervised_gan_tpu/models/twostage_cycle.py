@@ -183,9 +183,13 @@ class TwoStageCycleModel(TwoGroupModel):
             return nn.Ctx(fkey, compute_dtype=cd)
 
         # per-sample norms (instance) make batch-stacking the repeated
-        # G2/F2/D passes exactly equivalent to separate calls; batch norm
-        # would mix statistics across the stacked samples, so fall back.
-        can_batch = opt.norm == 'instance'
+        # G2/F2/D passes exactly equivalent to separate calls (batch norm
+        # would mix statistics).  Measured on v5e it is ~4.5% SLOWER
+        # (spatial positions already fill the MXU rows; see BENCH_NOTES),
+        # so it is opt-in via SGAN_TPU_BATCH_PASSES=1.
+        import os
+        can_batch = (opt.norm == 'instance'
+                     and os.environ.get('SGAN_TPU_BATCH_PASSES', '') == '1')
 
         def forward(params, inputs, noises, fkey):
             fk = [jax.random.fold_in(fkey, i) for i in range(8)]
@@ -308,8 +312,7 @@ class TwoStageCycleModel(TwoGroupModel):
             return total, {'D2': total}
 
         # ----------------------------- G ------------------------------- #
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             pD1, pD2 = all_params['D1'], all_params['D2']
             real_A, real_B = inputs['A'], inputs['B']
 

@@ -122,8 +122,7 @@ class TwoStageFactDModel(TwoStageModel):
                 return total, {'D2': total}
             return d2_loss
 
-        def g_loss(g_params, all_params, taps, inputs, noises, fkey):
-            taps = forward(g_params, inputs, noises, fkey)
+        def g_loss(taps, all_params, inputs, noises, fkey):
             pD1, pD2 = all_params['D1'], all_params['D2']
             real_A, real_B = inputs['A'], inputs['B']
             g1 = 0.0
