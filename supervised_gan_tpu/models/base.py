@@ -91,25 +91,49 @@ class BaseModel:
         return jax.random.fold_in(self.master_key, 2 * self._test_count)
 
     # ------------------------------------------------------ checkpoints -- #
+    # Writes are asynchronous: the device->host snapshot happens on the
+    # caller (cheap), serialization + disk IO go to a single worker thread
+    # so the train loop never stalls on checkpoint cadence (the reference
+    # blocks moving nets to CPU and pickling, base_model.py:44-52).
+    _ckpt_pool = None
+
+    @classmethod
+    def _ckpt_submit(cls, fn, *args):
+        from concurrent.futures import ThreadPoolExecutor
+        if cls._ckpt_pool is None:
+            cls._ckpt_pool = ThreadPoolExecutor(max_workers=1)
+        return cls._ckpt_pool.submit(fn, *args)
+
+    def flush_checkpoints(self):
+        """Block until queued checkpoint writes are on disk."""
+        if BaseModel._ckpt_pool is not None:
+            BaseModel._ckpt_pool.shutdown(wait=True)
+            BaseModel._ckpt_pool = None
+
     def _net_path(self, network_label, epoch_label, model_dir=''):
         d = model_dir or self.save_dir
         return os.path.join(d, '%s_net_%s.pth' % (epoch_label, network_label))
 
     def save_network(self, net, params, network_label, epoch_label):
-        pthio.save_pth(self._net_path(network_label, epoch_label), net, params)
+        host_params = jax.device_get(params)
+        self._ckpt_submit(pthio.save_pth,
+                          self._net_path(network_label, epoch_label),
+                          net, host_params)
 
     def load_network(self, net, network_label, epoch_label, model_dir=''):
         # explicit model_dir wins, else save_dir (reference base_model.py:55-61)
+        self.flush_checkpoints()  # don't read files still being written
         path = self._net_path(network_label, epoch_label, model_dir)
         print('loading %s' % path)
         return pthio.load_pth(path, net)
 
     def save_full_state(self, state, epoch_label, extra=None):
-        payload = {'state': state, 'extra': extra or {}}
-        pthio.save_state(os.path.join(
+        payload = {'state': jax.device_get(state), 'extra': extra or {}}
+        self._ckpt_submit(pthio.save_state, os.path.join(
             self.save_dir, '%s_state.pkl' % epoch_label), payload)
 
     def load_full_state(self, epoch_label):
+        self.flush_checkpoints()
         path = os.path.join(self.save_dir, '%s_state.pkl' % epoch_label)
         if os.path.exists(path):
             return pthio.load_state(path)

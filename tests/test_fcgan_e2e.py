@@ -61,6 +61,7 @@ def trained(dataroot, tmp_path_factory):
         model.optimize_parameters()
         losses.append(model.get_current_errors())
     model.save('latest')
+    model.flush_checkpoints()
     return dict(model=model, opt=opt, ckpt=ckpt, losses=losses)
 
 

@@ -98,6 +98,7 @@ def test_cgan(dataroot, tmp_path):
     assert list(errs[0]) == ['G_GAN', 'G_L1', 'D_real', 'D_fake']
     assert set(model.get_current_visuals()) == {'real_A', 'fake_B', 'real_B'}
     model.save('latest')
+    model.flush_checkpoints()
     assert os.path.exists(os.path.join(str(tmp_path), 'cg',
                                        'latest_net_G.pth'))
 
@@ -146,6 +147,7 @@ def test_cgan_causal(dataroot, tmp_path):
     # LG must stay at initialization (zero-grad quirk reproduced)
     lg_after = jax.device_get(model.state['params']['LG'])
     model.save('latest')
+    model.flush_checkpoints()
     assert os.path.exists(os.path.join(str(tmp_path), 'cgz',
                                        'latest_net_LG.pth'))
 
@@ -184,6 +186,7 @@ def test_twostage_cycle_fixed_noise_and_seq(dataroot, tmp_path):
     assert list(errs[0]) == ['G2_GAN', 'G2_real_cycle', 'G2_fake_cycle',
                              'D2', 'G1_GAN', 'D1']
     model.save('seq')
+    model.flush_checkpoints()
 
     # sequential training: reload G1+D1 from the 'seq' checkpoint
     opt2 = TrainOptions().parse(base_args(

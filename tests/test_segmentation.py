@@ -140,5 +140,6 @@ def test_segmentation_cycle(dataroot, tmp_path):
     vis = model.get_current_visuals()
     assert 'recon' in vis
     model.save('latest')
+    model.flush_checkpoints()
     model.test()
     assert model.fake_B.shape == (1, 128, 128, 2)
