@@ -97,12 +97,12 @@ class BaseModel:
     # blocks moving nets to CPU and pickling, base_model.py:44-52).
     _ckpt_pool = None
 
-    @classmethod
-    def _ckpt_submit(cls, fn, *args):
+    @staticmethod
+    def _ckpt_submit(fn, *args):
         from concurrent.futures import ThreadPoolExecutor
-        if cls._ckpt_pool is None:
-            cls._ckpt_pool = ThreadPoolExecutor(max_workers=1)
-        return cls._ckpt_pool.submit(fn, *args)
+        if BaseModel._ckpt_pool is None:
+            BaseModel._ckpt_pool = ThreadPoolExecutor(max_workers=1)
+        return BaseModel._ckpt_pool.submit(fn, *args)
 
     def flush_checkpoints(self):
         """Block until queued checkpoint writes are on disk."""

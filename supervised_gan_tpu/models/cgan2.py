@@ -60,6 +60,7 @@ class CGAN2Model(TwoGroupModel):
                 restored = self.load_full_state(opt.which_epoch)
                 if restored is not None:
                     state = restored['state']
+                    self.old_lr = restored['extra'].get('lr', opt.lr)
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
         self.state = jax.device_put(state)

@@ -73,6 +73,10 @@ class CGAN2CycleModel(TwoGroupModel):
                 restored = self.load_full_state(opt.which_epoch)
                 if restored is not None:
                     state = restored['state']
+                    extra = restored['extra']
+                    self.old_lr = extra.get('lr', opt.lr)
+                    self.old_lr1 = extra.get('lr1', opt.lr1)
+                    self.old_lr2 = extra.get('lr2', opt.lr2)
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
         self.state = jax.device_put(state)

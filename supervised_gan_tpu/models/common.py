@@ -221,7 +221,7 @@ def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
             aux_all.update(gaux)
             if g_spec['n_update'] > 1:
                 noises, fkey = draw()
-                taps, g_vjp = record_forward(noises, fkey)
+                taps = forward(params, inputs, noises, fkey)
 
         new_state = {'params': params, 'opt': opts, 'pools': pools}
         order = metrics_order or sorted(aux_all)

@@ -84,6 +84,10 @@ class TwoStageModel(TwoGroupModel):
                 restored = self.load_full_state(opt.which_epoch)
                 if restored is not None:
                     state = restored['state']
+                    extra = restored['extra']
+                    self.old_lr = extra.get('lr', opt.lr)
+                    self.old_lr1 = extra.get('lr1', opt.lr1)
+                    self.old_lr2 = extra.get('lr2', opt.lr2)
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
         self.state = jax.device_put(state)
@@ -236,7 +240,13 @@ class TwoStageModel(TwoGroupModel):
                 for o_, lam in zip(bank_apply(netD2, pD2, fake, ctx),
                                    lambda_D2):
                     if multiclass:
-                        t += gan_loss_multiclass(o_, flipped) * lam
+                        # reference passes False -> class 0 under the trick-off
+                        # path, i.e. the same class but NEGATED
+                        # (twostage_cycle_model.py:363-366)
+                        if not opt.no_logD_trick:
+                            t += gan_loss_multiclass(o_, flipped) * lam
+                        else:
+                            t += -gan_loss_multiclass(o_, 0) * lam
                     elif not opt.no_logD_trick:
                         t += gan_loss(o_, True, lsgan2) * lam
                     else:

@@ -343,7 +343,12 @@ class TwoStageCycleModel(TwoGroupModel):
             for outs in g2_outs:
                 for o_, lam in zip(outs, lambda_D2):
                     if multiclass:
-                        g2 += gan_loss_multiclass(o_, flipped) * lam
+                        # reference twostage_cycle_model.py:363-366: trick-off
+                        # negates the class-0 CE
+                        if not opt.no_logD_trick:
+                            g2 += gan_loss_multiclass(o_, flipped) * lam
+                        else:
+                            g2 += -gan_loss_multiclass(o_, 0) * lam
                     elif not opt.no_logD_trick:
                         g2 += gan_loss(o_, True, lsgan2) * lam
                     else:

@@ -4,8 +4,9 @@
     (reference util/util.py:86-128): threshold S,T at 0.5, label connected
     components with background=1, build the joint histogram and compute
     F = 2/(1/prec + 1/rec) with the background-row handling.
-  * ConfusionAccumulator — streaming confusion matrix with
-    pixelAcc / meanAcc / meanIU (reference models/segm_model.py:309-333).
+(The streaming confusion-matrix accumulation lives with its consumer in
+models/segmentation.py:SegAccumulatorMixin, mirroring the reference
+formulas exactly — reference models/segm_model.py:309-333.)
 """
 
 import numpy as np
@@ -61,36 +62,3 @@ def compute_rand_f_scores(S, T, do_thin=False):
         rec = sum_ab2 / sum_a2
         scores[k] = 2.0 / (1.0 / prec + 1.0 / rec)
     return scores
-
-
-class ConfusionAccumulator:
-    """Streaming per-class confusion matrix -> pixelAcc / meanAcc / meanIU."""
-
-    def __init__(self, num_classes):
-        self.num_classes = num_classes
-        self.reset()
-
-    def reset(self):
-        self.mat = np.zeros((self.num_classes, self.num_classes), np.int64)
-
-    def update(self, pred, target):
-        """pred/target: int arrays of class ids, same shape."""
-        p = np.asarray(pred).ravel()
-        t = np.asarray(target).ravel()
-        valid = (t >= 0) & (t < self.num_classes)
-        idx = t[valid] * self.num_classes + p[valid]
-        self.mat += np.bincount(
-            idx, minlength=self.num_classes ** 2
-        ).reshape(self.num_classes, self.num_classes)
-
-    def pixel_acc(self):
-        return np.diag(self.mat).sum() / max(self.mat.sum(), 1)
-
-    def mean_acc(self):
-        per_class = np.diag(self.mat) / np.maximum(self.mat.sum(axis=1), 1)
-        return per_class.mean()
-
-    def mean_iu(self):
-        diag = np.diag(self.mat)
-        union = self.mat.sum(axis=1) + self.mat.sum(axis=0) - diag
-        return (diag / np.maximum(union, 1)).mean()

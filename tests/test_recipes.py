@@ -103,6 +103,16 @@ def test_cgan(dataroot, tmp_path):
                                        'latest_net_G.pth'))
 
 
+def test_cgan_n_update_2(dataroot, tmp_path):
+    """Engine resample path: n_update_D/G > 1 (regression: the G-resample
+    branch once referenced an undefined symbol and crashed at trace time)."""
+    opt = TrainOptions().parse(base_args(
+        dataroot, str(tmp_path), 'cgn', 'cgan',
+        CGAN_ARCH + ['--n_update_G', '2', '--n_update_D', '2']))
+    model, errs = run_steps(opt, n=1)
+    check_finite(errs)
+
+
 def test_cgan2(dataroot, tmp_path):
     opt = TrainOptions().parse(base_args(
         dataroot, str(tmp_path), 'cg2', 'cgan2',
