@@ -24,7 +24,7 @@ class CGANModel(TwoGroupModel):
         TwoGroupModel.initialize(self, opt)
         self.netG = self.build_G(opt.input_nc, opt.output_nc)
         keys = jax.random.split(self.init_key, 16)
-        params = {'G': self.netG.init(keys[0])}
+        params = {'G': nn.jit_init(self.netG, keys[0])}
 
         if self.isTrain:
             d_in = opt.output_nc if opt.no_cgan \

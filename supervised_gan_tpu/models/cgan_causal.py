@@ -36,9 +36,9 @@ class CGANCausalModel(TwoGroupModel):
         self.netG2 = self.build_G(opt.output_nc, opt.input_nc, suffix='2')
         self.netLG = self.build_G(opt.output_nc, opt.input_nc, suffix='2')
         keys = jax.random.split(self.init_key, 16)
-        params = {'G1': self.netG1.init(keys[0]),
-                  'G2': self.netG2.init(keys[1]),
-                  'LG': self.netLG.init(keys[2])}
+        params = {'G1': nn.jit_init(self.netG1, keys[0]),
+                  'G2': nn.jit_init(self.netG2, keys[1]),
+                  'LG': nn.jit_init(self.netLG, keys[2])}
 
         if self.isTrain:
             d_in = opt.output_nc if opt.no_cgan \

@@ -36,8 +36,8 @@ class CGANCycleModel(TwoGroupModel):
         self.netG1 = self.build_G(opt.input_nc, opt.output_nc, suffix='1')
         self.netG2 = self.build_G(opt.output_nc, opt.input_nc, suffix='2')
         keys = jax.random.split(self.init_key, 16)
-        params = {'G1': self.netG1.init(keys[0]),
-                  'G2': self.netG2.init(keys[1])}
+        params = {'G1': nn.jit_init(self.netG1, keys[0]),
+                  'G2': nn.jit_init(self.netG2, keys[1])}
 
         if self.isTrain:
             d_in = opt.output_nc if opt.no_cgan \

@@ -48,7 +48,7 @@ class FCGANModel(BaseModel):
             share_label_weights=not opt.no_share_label_block_weights)
 
         keys = jax.random.split(self.init_key, 16)
-        params = {'G': self.netG.init(keys[0])}
+        params = {'G': nn.jit_init(self.netG, keys[0])}
 
         if self.isTrain:
             use_sigmoid = opt.no_lsgan
@@ -62,7 +62,7 @@ class FCGANModel(BaseModel):
                     opt.input_nc, opt.ndf, opt.which_model_netD,
                     n_layers_D=n_layers, norm=opt.norm,
                     use_sigmoid=use_sigmoid, scale_factor=scale))
-            params['D'] = {str(i): d.init(keys[1 + i])
+            params['D'] = {str(i): nn.jit_init(d, keys[1 + i])
                            for i, d in enumerate(self.netD)}
 
         if not self.isTrain or opt.continue_train:

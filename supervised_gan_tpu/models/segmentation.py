@@ -129,7 +129,7 @@ class SegmentationModel(SegAccumulatorMixin, BaseModel):
             share_label_weights=not opt.no_share_label_block_weights,
             n_layers_G_skip=opt.n_layers_G_skip)
         keys = jax.random.split(self.init_key, 8)
-        params = {'G': self.netG.init(keys[0])}
+        params = {'G': nn.jit_init(self.netG, keys[0])}
 
         if self.use_D:
             assert (len(opt.scale_factor) == len(opt.lambda_D)
@@ -142,7 +142,7 @@ class SegmentationModel(SegAccumulatorMixin, BaseModel):
                     d_in, opt.ndf, opt.which_model_netD, n_layers_D=n_layers,
                     norm=opt.norm, use_sigmoid=opt.no_lsgan,
                     scale_factor=scale))
-            params['D'] = {str(i): d.init(jax.random.fold_in(keys[1], i))
+            params['D'] = {str(i): nn.jit_init(d, jax.random.fold_in(keys[1], i))
                            for i, d in enumerate(self.netD)}
 
         if not self.isTrain or opt.continue_train:

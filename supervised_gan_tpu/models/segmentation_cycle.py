@@ -66,8 +66,8 @@ class SegmentationCycleModel(SegmentationModel):
         self.netG1 = build_g(opt.input_nc, self.num_classes, '1')
         self.netG2 = build_g(self.num_classes, opt.input_nc, '2')
         keys = jax.random.split(self.init_key, 8)
-        params = {'G1': self.netG1.init(keys[0]),
-                  'G2': self.netG2.init(keys[1])}
+        params = {'G1': nn.jit_init(self.netG1, keys[0]),
+                  'G2': nn.jit_init(self.netG2, keys[1])}
 
         if self.isTrain:
             assert (len(opt.scale_factor2) == len(opt.lambda_D2)
@@ -80,7 +80,7 @@ class SegmentationCycleModel(SegmentationModel):
                     d_in, opt.ndf2, opt.which_model_netD2,
                     n_layers_D=n_layers, norm=opt.norm,
                     use_sigmoid=opt.no_lsgan2, scale_factor=scale))
-            params['D2'] = {str(i): d.init(jax.random.fold_in(keys[2], i))
+            params['D2'] = {str(i): nn.jit_init(d, jax.random.fold_in(keys[2], i))
                             for i, d in enumerate(self.netD2)}
 
         if self.isTrain and opt.sequential_train and not opt.continue_train:

@@ -107,7 +107,8 @@ class TwoGroupModel(BaseModel):
 
     def init_bank(self, bank, key):
         keys = jax.random.split(key, max(len(bank), 1))
-        return {str(i): d.init(keys[i]) for i, d in enumerate(bank)}
+        return {str(i): nn.jit_init(d, keys[i])
+                for i, d in enumerate(bank)}
 
     def load_bank(self, bank, label_fmt, epoch, model_dir=''):
         return {str(i): self.load_network(d, label_fmt % i, epoch, model_dir)

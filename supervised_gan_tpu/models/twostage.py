@@ -32,8 +32,8 @@ class TwoStageModel(TwoGroupModel):
         self.netG1 = self.build_G(opt.input_nc, 0, suffix='1')
         self.netG2 = self._build_G2()
         keys = jax.random.split(self.init_key, 16)
-        params = {'G1': self.netG1.init(keys[0]),
-                  'G2': self.netG2.init(keys[1])}
+        params = {'G1': nn.jit_init(self.netG1, keys[0]),
+                  'G2': nn.jit_init(self.netG2, keys[1])}
 
         if self.isTrain:
             self.netD1 = self.build_D_bank(opt.input_nc, suffix='1')

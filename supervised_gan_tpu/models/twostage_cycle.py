@@ -43,9 +43,9 @@ class TwoStageCycleModel(TwoGroupModel):
         self.netF2 = self.build_F(opt.output_nc, opt.input_nc, suffix='2')
 
         keys = jax.random.split(self.init_key, 16)
-        params = {'G1': self.netG1.init(keys[0]),
-                  'G2': self.netG2.init(keys[1]),
-                  'F2': self.netF2.init(keys[2])}
+        params = {'G1': nn.jit_init(self.netG1, keys[0]),
+                  'G2': nn.jit_init(self.netG2, keys[1]),
+                  'F2': nn.jit_init(self.netF2, keys[2])}
 
         if self.isTrain:
             self.netD1 = self.build_D_bank(opt.input_nc, suffix='1')

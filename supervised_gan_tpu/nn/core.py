@@ -286,5 +286,16 @@ class Upsample(Layer):
         return bilinear_upsample(x, self.scale)
 
 
+def jit_init(layer, key):
+    """Initialize a layer's params under jit: one compiled program instead
+    of hundreds of per-parameter RNG dispatches (18x faster model startup
+    through the remote-execution relay: 132s -> 7s for the DSGAN CRN).
+    On CPU the dispatches are cheap and per-config compiles dominate (the
+    test suite builds many small nets), so eager init is used there."""
+    if jax.default_backend() == 'cpu':
+        return layer.init(key)
+    return jax.jit(layer.init)(key)
+
+
 def count_params(params):
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
