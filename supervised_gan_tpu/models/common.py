@@ -31,6 +31,7 @@ Faithfulness notes:
     (so the linear per-epoch decay never triggers a recompile).
 """
 
+import os
 from collections import OrderedDict
 
 import jax
@@ -156,18 +157,35 @@ def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
                  # back through the recorded forward (see below)
     resample occurs when the respective n_update > 1 (reference semantics).
 
-    Generator gradients: the engine re-executes the recorded forward (same
-    noises and dropout keys) inside the differentiated G loss — the
-    reference's backward-through-the-stored-graph semantics (the G loss
-    sees post-update D params but the same activations).  Measured on v5e:
-    XLA CSEs the duplicate forward better than a jax.vjp-recorded pullback
-    (whose residuals add memory traffic: 14.8 vs 15.9 img/s on the DSGAN
-    bench), so the recompute form is used.
+    Generator gradients — two equivalent forms (same linearization point:
+    same noises, dropout keys, and pre-update G params; both see
+    post-update D params inside the loss, the reference's
+    backward-through-the-stored-graph semantics):
+
+      * 'recompute': the differentiated G loss re-executes the forward and
+        XLA CSEs the duplicate away.  Fastest pure-XLA form (a recorded
+        jax.vjp measured -2.5% on the DSGAN bench: residual traffic).
+      * 'vjp': the forward is recorded ONCE with jax.vjp and the G grads
+        pulled back through it.  Required for the Pallas conv kernels:
+        XLA does NOT CSE opaque custom-calls, so the recompute form would
+        execute every Pallas conv twice.
+
+    Selected automatically (vjp iff Pallas kernels are enabled on a TPU
+    backend); override with SGAN_TPU_G_GRAD=recompute|vjp.
     """
     noise_names = sorted(noise_shapes)
 
+    def _g_grad_mode():
+        mode = os.environ.get('SGAN_TPU_G_GRAD', 'auto')
+        if mode in ('recompute', 'vjp'):
+            return mode
+        from ..nn import core
+        return ('vjp' if core.PALLAS_ENABLED
+                and jax.default_backend() == 'tpu' else 'recompute')
+
     def train_step(state, inputs, key, lrs):
         counter = iter(range(1024))
+        use_vjp = _g_grad_mode() == 'vjp'
 
         def k():
             return jax.random.fold_in(key, next(counter))
@@ -185,8 +203,23 @@ def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
                           for n in noise_names}
             return noises, k()
 
+        def record(noises, fkey):
+            """One forward execution; in vjp mode also its pullback wrt
+            the G param subtrees."""
+            gp = {kk: params[kk] for kk in g_keys}
+
+            def fwd(gp_):
+                merged = dict(params)
+                merged.update(gp_)
+                return forward(merged, inputs, noises, fkey)
+
+            if use_vjp:
+                taps, pull = jax.vjp(fwd, gp)
+                return taps, pull
+            return fwd(gp), None
+
         noises, fkey = draw()
-        taps = forward(params, inputs, noises, fkey)
+        taps, g_pull = record(noises, fkey)
         aux_all = {}
 
         for spec in d_specs:
@@ -201,19 +234,29 @@ def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
                 aux_all.update(aux)
                 if spec['n_update'] > 1:
                     noises, fkey = draw()
-                    taps = forward(params, inputs, noises, fkey)
+                    taps, g_pull = record(noises, fkey)
 
         for _ in range(g_spec['n_update']):
-            def g_loss(g_params):
-                merged = dict(params)
-                merged.update(g_params)
-                t = forward(merged, inputs, noises, fkey)
-                return g_spec['loss'](t, merged, inputs, noises, fkey)
+            gp0 = {kk: params[kk] for kk in g_keys}
+            if use_vjp:
+                def loss_of_taps(t):
+                    merged = dict(params)
+                    merged.update(gp0)
+                    return g_spec['loss'](t, merged, inputs, noises, fkey)
 
-            (_, gaux), grads = jax.value_and_grad(
-                g_loss, has_aux=True)({kk: params[kk] for kk in g_keys})
-            updates, opts['G'] = g_spec['tx'].update(
-                grads, opts['G'], {kk: params[kk] for kk in g_keys})
+                (_, gaux), dtaps = jax.value_and_grad(
+                    loss_of_taps, has_aux=True)(taps)
+                (grads,) = g_pull(dtaps)
+            else:
+                def g_loss(g_params):
+                    merged = dict(params)
+                    merged.update(g_params)
+                    t = forward(merged, inputs, noises, fkey)
+                    return g_spec['loss'](t, merged, inputs, noises, fkey)
+
+                (_, gaux), grads = jax.value_and_grad(
+                    g_loss, has_aux=True)(gp0)
+            updates, opts['G'] = g_spec['tx'].update(grads, opts['G'], gp0)
             for kk in g_keys:
                 lr = lrs[g_spec['lrs'][kk]]
                 params[kk] = jax.tree_util.tree_map(
@@ -221,7 +264,7 @@ def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
             aux_all.update(gaux)
             if g_spec['n_update'] > 1:
                 noises, fkey = draw()
-                taps = forward(params, inputs, noises, fkey)
+                taps, g_pull = record(noises, fkey)
 
         new_state = {'params': params, 'opt': opts, 'pools': pools}
         order = metrics_order or sorted(aux_all)

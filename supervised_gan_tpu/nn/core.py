@@ -153,6 +153,26 @@ class Conv2d(Layer):
                           self.in_nc * k * k, self.bias)
 
     def apply(self, params, x, ctx):
+        if (PALLAS_ENABLED and self.padding == 1
+                and (self.kernel, self.stride) in ((3, 1), (4, 2))):
+            from ..ops.pallas import conv3x3 as p3
+            if p3._INTERPRET or jax.default_backend() == 'tpu':
+                w, b = params["weight"], params.get("bias")
+                if ctx.compute_dtype is not None:
+                    x = x.astype(ctx.compute_dtype)
+                    w = w.astype(ctx.compute_dtype)
+                if self.kernel == 3:
+                    if p3.supported(x, w, self.stride, self.padding):
+                        return p3.conv3x3_same(x, w, b)
+                else:
+                    # measured net-negative on the DSGAN bench (XLA's k4s2
+                    # runs 17-43% of peak already; BENCH_NOTES.md round 2)
+                    # - opt-in for further tuning
+                    import os
+                    if os.environ.get('SGAN_TPU_CONV4S2') == '1':
+                        from ..ops.pallas import conv4s2 as p4
+                        if p4.supported(x, w, self.stride, self.padding):
+                            return p4.conv4s2_same(x, w, b)
         return conv2d(x, params["weight"], params.get("bias"),
                       self.stride, self.padding, ctx.compute_dtype)
 
