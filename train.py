@@ -83,6 +83,10 @@ def main():
         if epoch > opt.niter:
             model.update_learning_rate()
 
+    # checkpoint writes are async (worker thread); surface any IO error and
+    # make in-process callers (tests, notebooks) see the files before return
+    model.flush_checkpoints()
+
 
 if __name__ == '__main__':
     main()

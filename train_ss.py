@@ -142,6 +142,8 @@ def main():
         if epoch > opt_train.niter:
             model.update_learning_rate()
 
+    model.flush_checkpoints()
+
 
 if __name__ == '__main__':
     main()
