@@ -68,18 +68,33 @@ class BaseModel:
         from ..nn.core import set_pallas_enabled
         set_pallas_enabled(not getattr(opt, 'no_pallas', False))
         self.image_paths = []
+        # --data_mesh N > 1: 1-D data-parallel mesh (built before any state
+        # device_put so replication spans it; with --dcn_* flags the device
+        # list is global across processes)
+        self.mesh = None
+        n = int(getattr(opt, 'data_mesh', 0) or 0)
+        if n > 1:
+            from ..parallel import make_mesh
+            self.mesh = make_mesh(n)
 
     def jit_train_step(self, step_fn, state_template):
         """jit the recipe's train step; with --data_mesh N > 1 the step is
         compiled over an N-device 1-D mesh with the batch sharded on the
         'data' axis and state replicated (GSPMD inserts the gradient psum).
         batchSize must then be divisible by N."""
-        n = int(getattr(self.opt, 'data_mesh', 0) or 0)
-        if n > 1:
-            from ..parallel import make_mesh, shard_train_step
-            self.mesh = make_mesh(n)
+        if self.mesh is not None:
+            from ..parallel import shard_train_step
             return shard_train_step(step_fn, self.mesh, state_template)
         return jax.jit(step_fn, donate_argnums=(0,))
+
+    def put_state(self, state):
+        """Device-place freshly built train state; replicated over the mesh
+        when one exists (required for multi-process: every argument of a
+        global jit program must be a global array)."""
+        if self.mesh is not None:
+            from ..parallel import replicated_sharding
+            return jax.device_put(state, replicated_sharding(self.mesh))
+        return jax.device_put(state)
 
     # ------------------------------------------------------------- rng -- #
     def next_step_key(self):
@@ -170,3 +185,15 @@ class BaseModel:
     @staticmethod
     def to_device(arr):
         return jnp.asarray(np.ascontiguousarray(arr), jnp.float32)
+
+    def to_device_batch(self, arr):
+        """Batch input placement.  Single process: plain host->device put
+        (jit reshards per in_shardings).  Multi-process: every process loads
+        the full global batch (same seed => same stream) and contributes its
+        addressable shards of a global array."""
+        if self.mesh is None or jax.process_count() == 1:
+            return self.to_device(arr)
+        from ..parallel import batch_sharding
+        a = np.ascontiguousarray(np.asarray(arr, np.float32))
+        return jax.make_array_from_callback(
+            a.shape, batch_sharding(self.mesh), lambda idx: a[idx])

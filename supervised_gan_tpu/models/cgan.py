@@ -55,7 +55,7 @@ class CGANModel(TwoGroupModel):
                     self.old_lr = restored['extra'].get('lr', opt.lr)
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
-        self.state = jax.device_put(state)
+        self.state = self.put_state(state)
 
         self._g_jit = jax.jit(
             lambda pG, x, noise, fkey: g_apply(

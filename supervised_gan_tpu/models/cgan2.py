@@ -63,7 +63,7 @@ class CGAN2Model(TwoGroupModel):
                     self.old_lr = restored['extra'].get('lr', opt.lr)
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
-        self.state = jax.device_put(state)
+        self.state = self.put_state(state)
 
         cd = self.compute_dtype
         self._g_jit = jax.jit(lambda p, x, n, fk: g_apply(
@@ -80,9 +80,9 @@ class CGAN2Model(TwoGroupModel):
     # (reference cgan2_model.py:115-126)
     def set_input(self, input):
         g0, g1 = self.groups
-        self.input_A = self.to_device(input['A'][..., g0])
-        self.input_B = self.to_device(input['A'][..., g1])
-        self.input_fake_A = self.to_device(input['B'][..., g0])
+        self.input_A = self.to_device_batch(input['A'][..., g0])
+        self.input_B = self.to_device_batch(input['A'][..., g1])
+        self.input_fake_A = self.to_device_batch(input['B'][..., g0])
         self.image_paths = input['A_paths']
 
     def _noise_shape(self):

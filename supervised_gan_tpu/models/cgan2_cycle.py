@@ -79,7 +79,7 @@ class CGAN2CycleModel(TwoGroupModel):
                     self.old_lr2 = extra.get('lr2', opt.lr2)
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
-        self.state = jax.device_put(state)
+        self.state = self.put_state(state)
 
         cd = self.compute_dtype
         self._g1_jit = jax.jit(lambda p, x, n, fk: g_apply(
@@ -95,9 +95,9 @@ class CGAN2CycleModel(TwoGroupModel):
 
     def set_input(self, input):
         g0, g1 = self.groups
-        self.input_A = self.to_device(input['A'][..., g0])
-        self.input_B = self.to_device(input['A'][..., g1])
-        self.input_fake_A = self.to_device(input['B'][..., g0])
+        self.input_A = self.to_device_batch(input['A'][..., g0])
+        self.input_B = self.to_device_batch(input['A'][..., g1])
+        self.input_fake_A = self.to_device_batch(input['B'][..., g0])
         self.image_paths = input['A_paths']
 
     def _noise_shapes(self):

@@ -88,7 +88,7 @@ class FCGANModel(BaseModel):
                     self.old_lr = restored['extra'].get('lr', opt.lr)
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
-        self.state = jax.device_put(state)
+        self.state = self.put_state(state)
 
         # fixed noises for latent interpolation (fcgan_model.py:64-67)
         self.fixed_noiseA = jax.random.normal(keys[14], self._noise_shape())
@@ -190,7 +190,7 @@ class FCGANModel(BaseModel):
     def set_input(self, input):
         AorB = self.opt.which_direction == 'A'
         data = input['A' if AorB else 'B'][..., self.chnl_idx]
-        self.input = self.to_device(data)
+        self.input = self.to_device_batch(data)
         self.image_paths = input['A_paths' if AorB else 'B_paths']
 
     def optimize_parameters(self):

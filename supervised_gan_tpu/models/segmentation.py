@@ -165,7 +165,7 @@ class SegmentationModel(SegAccumulatorMixin, BaseModel):
                     opt.pool_size, (opt.fineSize, opt.fineSize, pool_nc))
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
-        self.state = jax.device_put(state)
+        self.state = self.put_state(state)
 
         cd = self.compute_dtype
         self._logit_jit = jax.jit(lambda p, x, noise, fk: g_apply(
@@ -193,8 +193,8 @@ class SegmentationModel(SegAccumulatorMixin, BaseModel):
             raise NotImplementedError(
                 'Dataset mode [%s] is not recognized' % self.opt.dataset_mode)
         onehot, label = self.onehot_label_input(input_B)
-        self.input_A = self.to_device(input_A)
-        self.input_B = self.to_device(onehot)
+        self.input_A = self.to_device_batch(input_A)
+        self.input_B = self.to_device_batch(onehot)
         self.label = jnp.asarray(label, jnp.int32)
         self.image_paths = input['A_paths' if AtoB else 'B_paths']
 

@@ -115,7 +115,7 @@ class SegmentationCycleModel(SegmentationModel):
                 opt.pool_size, (opt.fineSize, opt.fineSize, pool_nc))}
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
-        self.state = jax.device_put(state)
+        self.state = self.put_state(state)
 
         cd = self.compute_dtype
         self._logit_jit = jax.jit(lambda p, x, noise, fk: g_apply(

@@ -36,7 +36,7 @@ class TestModel(BaseModel):
         print('-----------------------------------------------')
 
     def set_input(self, input):
-        self.input_A = self.to_device(input['A'])
+        self.input_A = self.to_device_batch(input['A'])
         self.image_paths = input['A_paths']
 
     def test(self):

@@ -42,8 +42,8 @@ class TwoGroupModel(BaseModel):
         else:
             raise NotImplementedError(
                 'Dataset mode [%s] is not recognized' % self.opt.dataset_mode)
-        self.input_A = self.to_device(input_A)
-        self.input_B = self.to_device(input_B)
+        self.input_A = self.to_device_batch(input_A)
+        self.input_B = self.to_device_batch(input_B)
         self.image_paths = input['A_paths' if AtoB else 'B_paths']
 
     # ------------------------------------------------------ net builders -- #

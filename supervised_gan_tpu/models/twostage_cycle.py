@@ -121,7 +121,7 @@ class TwoStageCycleModel(TwoGroupModel):
                     self.old_lr2 = extra.get('lr2', opt.lr2)
             self._train_step = self.jit_train_step(
                 self._build_train_step(), state)
-        self.state = jax.device_put(state)
+        self.state = self.put_state(state)
 
         cd = self.compute_dtype
         self._g1_jit = jax.jit(lambda p, n, fk: g_apply(

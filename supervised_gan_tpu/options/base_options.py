@@ -140,6 +140,12 @@ class BaseOptions:
                        help='if >0, shard the batch over this many devices (0 = all local devices when batchSize divides, else 1)')
         p.add_argument('--no_pallas', action='store_true', help='disable Pallas kernels (pure XLA path)')
         p.add_argument('--no_native_io', action='store_true', help='disable the C++ image decode path')
+        p.add_argument('--dcn_coordinator', type=str, default='',
+                       help='multi-host: coordinator address host:port for jax.distributed')
+        p.add_argument('--dcn_num_processes', type=int, default=0,
+                       help='multi-host: total number of processes (0 = single-process)')
+        p.add_argument('--dcn_process_id', type=int, default=0,
+                       help='multi-host: this process index in [0, dcn_num_processes)')
 
         self.initialized = True
 
@@ -148,6 +154,14 @@ class BaseOptions:
             self.initialize()
         self.opt = self.parser.parse_args(args)
         self.opt.isTrain = self.isTrain
+
+        # multi-host wiring must precede the first JAX backend use, and
+        # option parsing is the first thing every driver does
+        if self.opt.dcn_num_processes > 1:
+            from ..parallel import init_distributed
+            init_distributed(self.opt.dcn_coordinator,
+                             self.opt.dcn_num_processes,
+                             self.opt.dcn_process_id)
 
         # gpu_ids kept for CLI compatibility; on TPU it selects logical devices.
         str_ids = self.opt.gpu_ids.split(',')

@@ -20,6 +20,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator, num_processes, process_id):
+    """Multi-host (DCN) wiring: jax.distributed.initialize.
+
+    Must run before the first JAX backend use.  After it, jax.devices()
+    returns the GLOBAL device list, so make_mesh() spans processes and the
+    same GSPMD train step runs unchanged — collectives ride ICI within a
+    host/slice and DCN across (scaling-book recipe).  The reference has no
+    multi-process support at all (SURVEY.md §2.12); this is the TPU-first
+    extension.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=int(num_processes),
+                               process_id=int(process_id))
+
+
 def make_mesh(n_devices=None, axis='data'):
     devs = jax.devices()
     if n_devices is not None:
@@ -37,11 +52,25 @@ def replicated_sharding(mesh):
 
 def shard_train_step(step_fn, mesh, state_template, donate_state=True):
     """jit a (state, batch, key, lr) -> (state, ...) step over the mesh:
-    batch sharded on 'data', everything else replicated."""
+    batch sharded on 'data', everything else replicated.
+
+    Multi-process (DCN): every argument of a global program must be a
+    global array, so the per-step PRNG key (a process-local array from
+    fold_in) is re-placed as a replicated global array before the call;
+    batches arrive global already (BaseModel.to_device_batch) and lr
+    scalars are host values, which jit replicates itself.
+    """
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
     state_sh = jax.tree_util.tree_map(lambda _: repl, state_template)
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
         in_shardings=(state_sh, data, repl, repl),
         donate_argnums=(0,) if donate_state else ())
+    if jax.process_count() == 1:
+        return jitted
+
+    def multiprocess_step(state, inputs, key, lrs):
+        key = jax.device_put(np.asarray(key), repl)
+        return jitted(state, inputs, key, lrs)
+    return multiprocess_step
