@@ -47,16 +47,19 @@ class Visualizer:
 
     def display_current_results(self, visuals, epoch):
         if self.vis is not None:
-            idx = 1
-            for label, image_numpy in visuals.items():
-                try:
-                    self.vis.image(image_numpy.transpose([2, 0, 1]),
-                                   opts=dict(title=label),
-                                   win=self.display_id + idx)
-                except Exception:
-                    self.vis = None
-                    break
-                idx += 1
+            ncols = getattr(self.opt, 'display_single_pane_ncols', 0)
+            try:
+                if ncols > 0:
+                    self._display_single_pane(visuals, ncols)
+                else:
+                    idx = 1
+                    for label, image_numpy in visuals.items():
+                        self.vis.image(image_numpy.transpose([2, 0, 1]),
+                                       opts=dict(title=label),
+                                       win=self.display_id + idx)
+                        idx += 1
+            except Exception:
+                self.vis = None
         if self.use_html:
             for label, image_numpy in visuals.items():
                 img_path = os.path.join(self.img_dir,
@@ -74,6 +77,31 @@ class Visualizer:
                     links.append(img_path)
                 webpage.add_images(ims, txts, links, width=self.win_size)
             webpage.save()
+
+    def _display_single_pane(self, visuals, ncols):
+        """One visdom grid pane of all visuals + a label-table text pane
+        (reference util/visualizer.py:33-73, --display_single_pane_ncols)."""
+        first = next(iter(visuals.values()))
+        h, w = first.shape[:2]
+        table_css = (
+            '<style>table {border-collapse: separate; border-spacing:4px; '
+            'white-space:nowrap; text-align:center} table td {width: %dpx; '
+            'height: %dpx; padding: 4px; outline: 4px solid black}</style>'
+            % (w, h))
+        images, cells = [], []
+        for label, image_numpy in visuals.items():
+            images.append(image_numpy.transpose([2, 0, 1]))
+            cells.append('<td>%s</td>' % label)
+        while len(images) % ncols:
+            images.append(np.full_like(images[0], 255))
+            cells.append('<td></td>')
+        rows = ['<tr>%s</tr>' % ''.join(cells[r:r + ncols])
+                for r in range(0, len(cells), ncols)]
+        self.vis.images(images, nrow=ncols, win=self.display_id + 1,
+                        padding=2, opts=dict(title=self.name + ' images'))
+        self.vis.text(table_css + '<table>%s</table>' % ''.join(rows),
+                      win=self.display_id + 2,
+                      opts=dict(title=self.name + ' labels'))
 
     def plot_current_errors(self, epoch, counter_ratio, opt, errors):
         if self.plot_data is None:

@@ -82,3 +82,65 @@ def test_fcgan_reconstruction(tmp_path):
     init_err = float(bce_loss((model.fake_init + 1) / 2,
                               (model.real + 1) / 2))
     assert err <= init_err + 1e-5
+
+
+def test_visualizer_single_pane_grid(tmp_path):
+    """--display_single_pane_ncols > 0: one grid pane + a label table
+    (reference util/visualizer.py:33-73), exercised against a fake visdom
+    client; white padding cells complete the last row."""
+    import numpy as np
+    from types import SimpleNamespace
+    from collections import OrderedDict
+    from supervised_gan_tpu.utils.visualizer import Visualizer
+
+    opt = SimpleNamespace(display_id=0, isTrain=True, no_html=True,
+                          display_winsize=64, name='sp',
+                          checkpoints_dir=str(tmp_path), display_port=1,
+                          display_single_pane_ncols=2)
+    (tmp_path / 'sp').mkdir()
+    vz = Visualizer(opt)
+
+    calls = {}
+
+    class FakeVis:
+        def images(self, images, nrow, win, padding, opts):
+            calls['images'] = (len(images), nrow, win, opts['title'])
+
+        def text(self, html, win, opts):
+            calls['text'] = (html, win)
+
+    vz.vis = FakeVis()
+    vz.display_id = 10
+    vis = OrderedDict([('a', np.zeros((8, 8, 3), np.uint8)),
+                       ('b', np.zeros((8, 8, 3), np.uint8)),
+                       ('c', np.zeros((8, 8, 3), np.uint8))])
+    vz.display_current_results(vis, epoch=1)
+    n, nrow, win, title = calls['images']
+    assert (n, nrow, win) == (4, 2, 11)      # 3 visuals + 1 white pad cell
+    assert title == 'sp images'
+    html, win2 = calls['text']
+    assert win2 == 12 and html.count('<tr>') == 2 and '<td>c</td>' in html
+
+
+def test_visualizer_single_pane_no_server(tmp_path):
+    """A dead visdom client must degrade to files-only, not raise."""
+    from types import SimpleNamespace
+    from collections import OrderedDict
+    import numpy as np
+    from supervised_gan_tpu.utils.visualizer import Visualizer
+
+    opt = SimpleNamespace(display_id=0, isTrain=True, no_html=True,
+                          display_winsize=64, name='sp2',
+                          checkpoints_dir=str(tmp_path), display_port=1,
+                          display_single_pane_ncols=2)
+    (tmp_path / 'sp2').mkdir()
+    vz = Visualizer(opt)
+
+    class DeadVis:
+        def images(self, *a, **k):
+            raise ConnectionError('no server')
+
+    vz.vis = DeadVis()
+    vz.display_current_results(
+        OrderedDict([('a', np.zeros((8, 8, 3), np.uint8))]), epoch=1)
+    assert vz.vis is None
