@@ -18,6 +18,7 @@ early through the remote-execution relay.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -80,18 +81,35 @@ def main():
     dt = time.perf_counter() - t0
     img_per_sec = n_steps * opt.batchSize / dt
 
+    # The axon backend cannot serialize executables, so .lower().compile()
+    # for cost analysis would pay the full ~10 min remote compile AGAIN on
+    # every bench run.  The step FLOP count is a pure function of the
+    # (fixed) bench config, so it is computed once and cached on disk.
     baseline = FALLBACK_BASELINE_IMG_S
+    flops_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'BENCH_FLOPS.json')
+    flops = 0.0
     try:
-        inputs = {'A': model.input_A, 'B': model.input_B}
-        lowered = model._train_step.lower(
-            model.state, inputs, jax.random.PRNGKey(0),
-            {'lr': 2e-4, 'lr1': 2e-4, 'lr2': 2e-4})
-        cost = lowered.compile().cost_analysis()
-        flops = cost.get('flops', 0.0) if isinstance(cost, dict) else 0.0
-        if flops and flops > 0:
-            baseline = A100_EFFECTIVE_FLOPS / flops * opt.batchSize
+        with open(flops_cache) as f:
+            flops = json.load(f)['flops']
     except Exception:
-        pass
+        try:
+            inputs = {'A': model.input_A, 'B': model.input_B}
+            lowered = model._train_step.lower(
+                model.state, inputs, jax.random.PRNGKey(0),
+                {'lr': 2e-4, 'lr1': 2e-4, 'lr2': 2e-4})
+            cost = lowered.compile().cost_analysis()
+            flops = cost.get('flops', 0.0) if isinstance(cost, dict) else 0.0
+            if flops and flops > 0:
+                with open(flops_cache, 'w') as f:
+                    json.dump({'flops': flops,
+                               'note': 'XLA cost_analysis of the DSGAN '
+                                       'bench train step; delete to '
+                                       'recompute'}, f)
+        except Exception:
+            pass
+    if flops and flops > 0:
+        baseline = A100_EFFECTIVE_FLOPS / flops * opt.batchSize
 
     print(json.dumps({
         'metric': 'vnc512_dsgan_twostage_cycle_train_images_per_sec_per_chip',
