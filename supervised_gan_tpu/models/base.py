@@ -82,6 +82,13 @@ class BaseModel:
         compiled over an N-device 1-D mesh with the batch sharded on the
         'data' axis and state replicated (GSPMD inserts the gradient psum).
         batchSize must then be divisible by N."""
+        # vjp-vs-recompute G-grad hint: walk this model's nets for conv
+        # sites the Pallas 3x3 kernel can claim (models/common.py)
+        from .common import has_pallas_conv_sites, set_g_grad_vjp_hint
+        from ..nn.core import Layer
+        set_g_grad_vjp_hint(any(
+            has_pallas_conv_sites(v) for v in vars(self).values()
+            if isinstance(v, Layer)))
         if self.mesh is not None:
             from ..parallel import shard_train_step
             return shard_train_step(step_fn, self.mesh, state_template)

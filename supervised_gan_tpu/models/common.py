@@ -131,6 +131,32 @@ def g_apply_multi(net, params, ctx, xs, noise=None, activation='tanh'):
     return [out[j * b:(j + 1) * b] for j in range(n)]
 
 
+# Set by BaseModel.jit_train_step: True when the model's nets contain conv
+# sites the Pallas 3x3 kernel can dispatch (the vjp-recorded G-grad form is
+# only worth its residual traffic when custom-calls defeat XLA's CSE of the
+# recompute form; recipes with no such convs keep the recompute form).
+G_GRAD_VJP_HINT = False
+
+
+def set_g_grad_vjp_hint(flag):
+    global G_GRAD_VJP_HINT
+    G_GRAD_VJP_HINT = bool(flag)
+
+
+def has_pallas_conv_sites(layer):
+    """Walk a Layer tree for Conv2d configs the pixel-packed 3x3 kernel
+    accepts (channel test only; spatial size is decided per call)."""
+    from ..nn import core
+    if isinstance(layer, core.Conv2d):
+        c = layer.in_nc
+        if (layer.kernel == 3 and layer.stride == 1 and layer.padding == 1
+                and layer.in_nc == layer.out_nc
+                and (c % 128 == 0 or (c and 128 % c == 0))):
+            return True
+    return any(has_pallas_conv_sites(ch)
+               for ch in layer.children().values())
+
+
 def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
                          metrics_order=None, sample_noises=None):
     """Returns train_step(state, inputs, key, lrs) -> (state, metrics, taps).
@@ -180,7 +206,7 @@ def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
         if mode in ('recompute', 'vjp'):
             return mode
         from ..nn import core
-        return ('vjp' if core.PALLAS_ENABLED
+        return ('vjp' if core.PALLAS_ENABLED and G_GRAD_VJP_HINT
                 and jax.default_backend() == 'tpu' else 'recompute')
 
     def train_step(state, inputs, key, lrs):
