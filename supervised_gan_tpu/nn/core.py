@@ -197,6 +197,22 @@ class ConvTranspose2d(Layer):
                           self.in_nc * k * k, self.bias)
 
     def apply(self, params, x, ctx):
+        if (PALLAS_ENABLED and self.kernel == 4 and self.stride == 2
+                and self.padding == 1 and self.output_padding == 0):
+            from ..ops.pallas import convt4s2 as pt
+            if pt._INTERPRET or jax.default_backend() == 'tpu':
+                w, b = params["weight"], params.get("bias")
+                if ctx.compute_dtype is not None:
+                    x = x.astype(ctx.compute_dtype)
+                    w = w.astype(ctx.compute_dtype)
+                # measured win region (BENCH_NOTES round 2): tiny spatial
+                # (XLA's lhs-dilated conv is weak there) or small Co;
+                # elsewhere XLA ties or wins
+                h, wd, co = x.shape[1], x.shape[2], w.shape[3]
+                if ((h * wd <= 256 or co <= 32)
+                        and pt.supported(x, w, self.stride, self.padding,
+                                         self.output_padding)):
+                    return pt.convt4s2(x, w, b)
         return conv_transpose2d(x, params["weight"], params.get("bias"),
                                 self.stride, self.padding,
                                 self.output_padding, ctx.compute_dtype)

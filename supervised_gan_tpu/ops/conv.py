@@ -16,11 +16,18 @@ transpose rule would then pair a bf16 operand with the f32 cotangent and
 fail.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
+
+# Lane-starved channel counts dispatch to the fused reformulations in
+# edge_conv.py (pure XLA, backend-independent; measured on v5e in
+# tools/microbench.py / BENCH_NOTES.md round 2).
+_EDGE = os.environ.get("SGAN_TPU_EDGE_CONV", "1") != "0"
 
 
 def _cast(x, w, compute_dtype):
@@ -34,6 +41,16 @@ def _cast(x, w, compute_dtype):
 def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
     """2-D convolution. x: (N,H,W,C), w: (kh,kw,Cin,Cout), b: (Cout,)."""
     x, w = _cast(x, w, compute_dtype)
+    if _EDGE:
+        from . import edge_conv
+        if edge_conv.head_conv_supported(x, w, stride, padding):
+            return edge_conv.head_conv(x, w, b, stride, padding)
+        # stride-1 stems win outright (0.013 vs 0.042 ms); strided stems
+        # go through the space-to-depth form — forward ties XLA (0.277
+        # vs 0.289 at the 512px 3->64 D stem) and the custom vjp is 18x
+        # (0.052 vs 0.934)
+        if edge_conv.stem_conv_supported(x, w, stride, padding):
+            return edge_conv.stem_conv(x, w, b, stride, padding)
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     y = lax.conv_general_dilated(
@@ -56,6 +73,11 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
     ``output_padding`` adds rows/cols at the bottom/right, matching torch.
     """
     x, w = _cast(x, w, compute_dtype)
+    if _EDGE:
+        from . import edge_conv
+        if edge_conv.head_convt_supported(x, w, stride, padding,
+                                          output_padding):
+            return edge_conv.head_convt(x, w, b, stride, padding)
     kh, kw = w.shape[0], w.shape[1]
     s = (stride, stride) if isinstance(stride, int) else stride
     ph, pw = (padding, padding) if isinstance(padding, int) else padding

@@ -1,0 +1,447 @@
+"""Reformulated convolutions for lane-starved channel counts.
+
+XLA's TPU conv puts channels in the 128-lane dimension, so convs whose
+input or output channels are tiny run orders of magnitude below the
+bandwidth bound (tools/microbench.py, v5e):
+
+  * k3s1 64->1 @512px (the CRN output head, reference
+    models/networks.py:794): fwd 0.53 ms, joint vjp 3.75 ms — 0.04% peak.
+  * k4s2 3->64 @512px (every PatchGAN stem, reference :816): fwd
+    0.29 ms, vjp 0.93 ms.
+  * k4s2 64->2 ConvTranspose (G1 output, reference :540): 0.23 ms.
+
+Both are bandwidth-bound ops (hundreds of GFLOP/s at most); the fix is a
+formulation whose data movement XLA can schedule well.  Two rules fell
+out of the measurements (all numbers v5e, slope methodology):
+
+  1. read the big tensor ONCE, through a single dense dot — XLA does not
+     CSE k*k shifted slice-reads of the same array (the per-tap
+     multiply+reduce form still read x 9 times: 0.40 ms vs 0.53).
+  2. never strided-slice a lane-starved tensor — a k4s2 im2col via
+     16 strided slices of a 3-channel image ran 7.3 ms (25x WORSE than
+     XLA); one space-to-depth relayout followed by contiguous slices
+     fixes it.
+
+Forms (each a custom_vjp unit whose backward obeys the same rules):
+
+  * tiny Co ("head"): t = xp @ W (ci, k*k*co) once, then y = sum of k*k
+    shifted contiguous slices of t.  Measured 0.051/0.218 ms fwd/vjp at
+    the 512px CRN head vs XLA's 0.53/3.75 (10x/17x); the 63px PatchGAN
+    head: 0.007/0.005 vs 0.069/0.233.
+  * tiny Ci ("stem"): space-to-depth (stride > 1) or plain shifts
+    (stride 1), concat to an (M, k*k*Ci) patches matrix, ONE dense
+    matmul.  Forward ties XLA at the 512px D stem (0.277 vs 0.289) and
+    the vjp is 18x (0.052 vs 0.934).
+  * tiny Co ConvTranspose ("head_convt"): phase form — t = x @ W once,
+    per-phase sums of contiguous slices, one interleave at the end.
+    0.023/0.252 ms fwd/vjp vs XLA's 0.232/0.904 at the G1 output.
+
+All functions take NHWC x, HWIO w and match ops.conv.conv2d /
+conv_transpose2d semantics.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# heads: dispatch when Co*4 <= Ci (measured win region); stems: Ci tiny
+HEAD_MAX_CO = 4
+STEM_MAX_CI = 8
+
+
+def _pad_hw(x, ph, pw):
+    return jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+
+
+# ---------------------------------------------------------------- heads
+
+def _head_fwd(x, w, b, stride, padding):
+    """Conv with tiny Co, restructured so x is read ONCE.
+
+    The naive per-tap multiply+reduce form reads x k*k times (XLA does
+    not CSE the shifted slice reads; measured 0.40 ms at 512px 64->1 vs
+    0.53 for its conv).  Two stages instead: (1) one dense dot
+    t = xp @ W, W: (ci, k*k*co) — per-position, per-tap partial sums;
+    (2) y = sum of k*k shifted slices of t, each selecting its tap's co
+    lanes — an elementwise sum over a small f32 array that XLA fuses.
+    """
+    kh, kw, ci, co = w.shape
+    n, h, wd, _ = x.shape
+    s = stride
+    xp = _pad_hw(x, padding, padding)
+    hp, wp = h + 2 * padding, wd + 2 * padding
+    oh = (hp - kh) // s + 1
+    ow = (wp - kw) // s + 1
+    wm = w.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
+    t = jax.lax.dot_general(
+        xp.reshape(n * hp * wp, ci), wm.astype(xp.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t = t.reshape(n, hp, wp, kh * kw * co)
+    acc = jnp.zeros((n, oh, ow, co), jnp.float32)
+    for ky in range(kh):
+        for kx in range(kw):
+            j = ky * kw + kx
+            acc = acc + t[:, ky:ky + (oh - 1) * s + 1:s,
+                          kx:kx + (ow - 1) * s + 1:s,
+                          j * co:(j + 1) * co]
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
+def _head_dx(g, w, xshape, stride, padding):
+    """dx of the head conv = (lhs-dilated) conv of g with the flipped,
+    io-transposed kernel — a tiny-Ci conv, i.e. a stem."""
+    kh, kw, ci, co = w.shape
+    s = stride
+    wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
+    if s == 1:
+        return _stem_fwd(g, wT, None, 1, kh - 1 - padding)
+    # strided: zero-dilate g onto the padded-x grid, then full conv
+    n, h, wd, _ = xshape
+    hp, wp = h + 2 * padding, wd + 2 * padding
+    oh, ow = g.shape[1], g.shape[2]
+    cfg = ((0, 0, 0),
+           (0, hp - kh - (oh - 1) * s, s - 1),
+           (0, wp - kw - (ow - 1) * s, s - 1),
+           (0, 0, 0))
+    gd = jax.lax.pad(g, jnp.zeros((), g.dtype), cfg)
+    dxp = _stem_fwd(gd, wT, None, 1, kh - 1)
+    if padding:
+        dxp = dxp[:, padding:-padding, padding:-padding, :]
+    return dxp
+
+
+def _head_dw(x, g, wshape, stride, padding):
+    """dw as ONE dot over padded-x positions against dilated-g patches:
+    dw[ky,kx,c,o] = sum_{a,b} xp[a,b,c] * gd[a-ky, b-kx, o], with gd the
+    zero-dilated g on the xp grid — the patches are k*k shifted slices
+    of a (k-1)-lo-padded gd (layout-only; g has tiny co, so the patch
+    tensor is small)."""
+    kh, kw, ci, co = wshape
+    n, h, wd, _ = x.shape
+    s = stride
+    oh, ow = g.shape[1], g.shape[2]
+    hp, wp = h + 2 * padding, wd + 2 * padding
+    xp = _pad_hw(x, padding, padding)
+    # gd on the xp grid (g[i] lives at xp row s*i), then lo-pad by k-1
+    cfg = ((0, 0, 0),
+           (kh - 1, hp - (oh - 1) * s - 1, s - 1),
+           (kw - 1, wp - (ow - 1) * s - 1, s - 1),
+           (0, 0, 0))
+    gd = jax.lax.pad(g, jnp.zeros((), g.dtype), cfg)
+    cols = []
+    for ky in range(kh):
+        for kx in range(kw):
+            oy, ox = kh - 1 - ky, kw - 1 - kx
+            cols.append(gd[:, oy:oy + hp, ox:ox + wp, :])
+    gcols = jnp.concatenate(cols, axis=-1)          # (n, hp, wp, k*k*co)
+    dw = jax.lax.dot_general(
+        xp.reshape(n * hp * wp, ci), gcols.reshape(n * hp * wp, -1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dw.reshape(ci, kh, kw, co).transpose(1, 2, 0, 3)
+
+
+def head_conv_supported(x, w, stride, padding):
+    kh, kw, ci, co = w.shape
+    return (co <= HEAD_MAX_CO and ci >= 16 and kh == kw
+            and isinstance(stride, int) and isinstance(padding, int))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def head_conv(x, w, b, stride, padding):
+    """Tiny-Co conv in fused reduction form (callers gate on
+    head_conv_supported); semantics = ops.conv.conv2d."""
+    return _head_fwd(x, w, b, stride, padding)
+
+
+def _head_vjp_fwd(x, w, b, stride, padding):
+    return _head_fwd(x, w, b, stride, padding), (x, w, b is not None)
+
+
+def _head_vjp_bwd(stride, padding, res, g):
+    x, w, has_b = res
+    dx = _head_dx(g, w, x.shape, stride, padding).astype(x.dtype)
+    dw = _head_dw(x, g, w.shape, stride, padding).astype(w.dtype)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    return dx, dw, db
+
+
+head_conv.defvjp(_head_vjp_fwd, _head_vjp_bwd)
+
+
+# ---------------------------------------------------------------- stems
+
+def _im2col(x, kh, kw, stride, padding, oh, ow):
+    """(n, oh, ow, kh*kw*ci) patches from contiguous slices (stride 1).
+
+    Strided slices of lane-starved tensors are pathological on TPU
+    (measured 16 x 0.45 ms at the 512px 3-channel stem); stride > 1 must
+    go through _im2col_s2d instead."""
+    assert stride == 1
+    n = x.shape[0]
+    xp = _pad_hw(x, padding, padding)
+    cols = []
+    for ky in range(kh):
+        for kx in range(kw):
+            cols.append(xp[:, ky:ky + oh, kx:kx + ow, :])
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _s2d_ok(x, k, s, p):
+    return (s > 1 and k % s == 0
+            and (x.shape[1] + 2 * p) % s == 0
+            and (x.shape[2] + 2 * p) % s == 0)
+
+
+def _im2col_s2d(x, k, stride, padding, oh, ow):
+    """Strided-conv patches via space-to-depth: ONE relayout moves the
+    s x s pixel block into lanes, after which every tap is a contiguous
+    slice.  Channel order: (a, b, dy, dx, c) with ky = s*a + dy.
+    Matching weight reorder: _w_s2d."""
+    n, h, wd, ci = x.shape
+    s = stride
+    xp = _pad_hw(x, padding, padding)
+    hp, wp = h + 2 * padding, wd + 2 * padding
+    xs = xp.reshape(n, hp // s, s, wp // s, s, ci)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // s, wp // s,
+                                                s * s * ci)
+    t = k // s
+    cols = []
+    for a in range(t):
+        for b in range(t):
+            cols.append(xs[:, a:a + oh, b:b + ow, :])
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _w_s2d(w, stride):
+    """(k, k, ci, co) -> (k*k*ci, co) in _im2col_s2d's channel order."""
+    k, _, ci, co = w.shape
+    s = stride
+    t = k // s
+    w6 = w.reshape(t, s, t, s, ci, co)           # (a, dy, b, dx, c, o)
+    return w6.transpose(0, 2, 1, 3, 4, 5).reshape(k * k * ci, co)
+
+
+def _w_s2d_inv(dw2, k, stride, ci, co):
+    """Inverse of _w_s2d on the gradient."""
+    s = stride
+    t = k // s
+    d6 = dw2.reshape(t, t, s, s, ci, co).transpose(0, 2, 1, 3, 4, 5)
+    return d6.reshape(k, k, ci, co)
+
+
+def stem_conv_supported(x, w, stride, padding):
+    kh, kw, ci, co = w.shape
+    return (ci <= STEM_MAX_CI and co >= 16 and kh == kw
+            and isinstance(stride, int) and isinstance(padding, int)
+            and (stride == 1
+                 or (_s2d_ok(x, kh, stride, padding)
+                     and (kh - 2 * padding) % stride == 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def stem_conv(x, w, b, stride, padding):
+    """Tiny-Ci conv as explicit im2col + one dense matmul (callers gate
+    on stem_conv_supported); semantics = ops.conv.conv2d."""
+    return _stem_fwd(x, w, b, stride, padding)
+
+
+def _stem_patches_w(x, w, stride, padding, oh, ow):
+    kh = w.shape[0]
+    if stride == 1:
+        return (_im2col(x, kh, kh, 1, padding, oh, ow),
+                w.reshape(-1, w.shape[3]))
+    return (_im2col_s2d(x, kh, stride, padding, oh, ow),
+            _w_s2d(w, stride))
+
+
+def _stem_fwd(x, w, b, stride, padding):
+    kh, kw, ci, co = w.shape
+    n, h, wd, _ = x.shape
+    oh = (h + 2 * padding - kh) // stride + 1
+    ow = (wd + 2 * padding - kw) // stride + 1
+    patches, wm = _stem_patches_w(x, w, stride, padding, oh, ow)
+    y = jax.lax.dot_general(
+        patches.reshape(n * oh * ow, -1), wm.astype(patches.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())))
+    y = y.reshape(n, oh, ow, co)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _stem_vjp_fwd(x, w, b, stride, padding):
+    return _stem_fwd(x, w, b, stride, padding), (x, w, b is not None)
+
+
+def _stem_vjp_bwd(stride, padding, res, g):
+    x, w, has_b = res
+    kh, kw, ci, co = w.shape
+    n, oh, ow, _ = g.shape
+    gm = g.reshape(n * oh * ow, co)
+    # dw: patches^T @ g — one dense (K, M) x (M, co) matmul
+    patches, _ = _stem_patches_w(x, w, stride, padding, oh, ow)
+    dw = jax.lax.dot_general(
+        patches.reshape(n * oh * ow, -1), gm.astype(patches.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())))
+    if stride == 1:
+        dw = dw.reshape(kh, kw, ci, co).astype(w.dtype)
+    else:
+        dw = _w_s2d_inv(dw, kh, stride, ci, co).astype(w.dtype)
+    s = stride
+    h, wd = x.shape[1], x.shape[2]
+    if s > 1:
+        # dx is a ConvTranspose to tiny channels — the phase-form head
+        wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
+        dx = _head_convt_fwd(g, wT, None, s, padding)
+    else:
+        # dx: tiny-Ci scatter — the head-dx broadcast dual
+        dcols = jax.lax.dot_general(
+            gm, w.reshape(kh * kw * ci, co).astype(gm.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())))
+        dcols = dcols.reshape(n, oh, ow, kh, kw, ci)
+        dxp = jnp.zeros((n, h + 2 * padding, wd + 2 * padding, ci),
+                        jnp.float32)
+        for ky in range(kh):
+            for kx in range(kw):
+                dxp = dxp.at[:, ky:ky + oh, kx:kx + ow, :].add(
+                    dcols[:, :, :, ky, kx, :].astype(jnp.float32))
+        if padding:
+            dxp = dxp[:, padding:-padding, padding:-padding, :]
+        dx = dxp
+    dx = dx.astype(x.dtype)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    return dx, dw, db
+
+
+stem_conv.defvjp(_stem_vjp_fwd, _stem_vjp_bwd)
+
+
+# ------------------------------------------------------- convT heads
+
+def head_convt_supported(x, w, stride, padding, output_padding=0):
+    kh, kw, ci, co = w.shape
+    return (co <= HEAD_MAX_CO and ci >= 16 and kh == kw
+            and isinstance(stride, int) and isinstance(padding, int)
+            and output_padding == 0 and kh > padding
+            and (kh - 2 * padding) % stride == 0)
+
+
+def _phase_taps(k, s, p):
+    """For each output phase q (Y = s*m + q): the (ky, d) pairs with
+    y[Y] += w[ky] x[m + d], from the stored-pre-flipped lhs-dilated form
+    y[Y] = sum_ky w[ky] x[(Y + ky - (k-1-p)) / s]."""
+    taps = []
+    for q in range(s):
+        lst = []
+        for ky in range(k):
+            num = q + ky - (k - 1 - p)
+            if num % s == 0:
+                lst.append((ky, num // s))
+        taps.append(lst)
+    return taps
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def head_convt(x, w, b, stride, padding):
+    """Tiny-Co ConvTranspose (w stored pre-flipped HWIO, see
+    ops.conv.conv_transpose2d) in phase form: one dense dot
+    t = x @ W (x read once), per-phase sums of contiguous slices of t,
+    and a single cheap interleave — never a strided slice of a
+    lane-starved tensor (measured pathological: the zero-dilate form ran
+    0.58/7.3 ms fwd/vjp at 256px 64->2 vs XLA's 0.23/0.90; see
+    BENCH_NOTES.md round 2).  Callers gate on head_convt_supported."""
+    return _head_convt_fwd(x, w, b, stride, padding)
+
+
+def _head_convt_fwd(x, w, b, stride, padding):
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    s = stride
+    taps = _phase_taps(k, s, padding)
+    O = h - 1 + (k - 2 * padding) // s           # output rows per phase
+    OW = wd - 1 + (k - 2 * padding) // s         # output cols per phase
+    ds = [d for lst in taps for (_, d) in lst]
+    pl = max(0, -min(ds))
+    pr = max(0, max(O, OW) - 1 + max(ds) - (min(h, wd) - 1))
+    wm = w.transpose(2, 0, 1, 3).reshape(ci, k * k * co)
+    t = jax.lax.dot_general(
+        x.reshape(n * h * wd, ci), wm.astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t = t.reshape(n, h, wd, k * k * co)
+    t = jnp.pad(t, ((0, 0), (pl, pr), (pl, pr), (0, 0)))
+    phases = []
+    for q in range(s):
+        row = []
+        for r in range(s):
+            acc = jnp.zeros((n, O, OW, co), jnp.float32)
+            for ky, dy in taps[q]:
+                for kx, dx_ in taps[r]:
+                    j = ky * k + kx
+                    acc = acc + t[:, pl + dy:pl + dy + O,
+                                  pl + dx_:pl + dx_ + OW,
+                                  j * co:(j + 1) * co]
+            row.append(acc)
+        phases.append(row)
+    y = jnp.stack([jnp.stack(row) for row in phases])    # (s, s, n, O, OW, co)
+    y = y.transpose(2, 3, 0, 4, 1, 5).reshape(n, s * O, s * OW, co)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _head_convt_vjp_fwd(x, w, b, stride, padding):
+    return _head_convt_fwd(x, w, b, stride, padding), (x, w, b is not None)
+
+
+def _head_convt_vjp_bwd(stride, padding, res, g):
+    x, w, has_b = res
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    s = stride
+    # dx of a ConvTranspose is the plain strided conv of g with the
+    # flipped, io-transposed kernel — full output channels, so XLA's
+    # native conv handles it well
+    wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
+    dx = jax.lax.conv_general_dilated(
+        g, wT, (s, s), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # dw[ky,kx,c,o] = sum_m x[m,c] g_ph[q(ky)][m - d(ky), o]: de-interleave
+    # g into phases (one relayout), build k*k contiguous-slice columns,
+    # contract in ONE dot against x
+    taps = _phase_taps(k, s, padding)
+    O, ow = g.shape[1] // s, g.shape[2] // s
+    gph = g.reshape(n, O, s, ow, s, co).transpose(0, 1, 3, 2, 4, 5)
+    ds = [d for lst in taps for (_, d) in lst]
+    gl = max(0, max(ds))
+    gr = max(0, h - 1 - min(ds) - (O - 1))
+    gph = jnp.pad(gph, ((0, 0), (gl, gr), (gl, gr), (0, 0), (0, 0), (0, 0)))
+    dmap = {}
+    for q in range(s):
+        for ky, d in taps[q]:
+            dmap[ky] = (q, d)
+    cols = []
+    for ky in range(k):
+        qy, dy = dmap[ky]
+        for kx in range(k):
+            qx, dx_ = dmap[kx]
+            cols.append(gph[:, gl - dy:gl - dy + h,
+                            gl - dx_:gl - dx_ + wd, qy, qx, :])
+    gcols = jnp.concatenate(cols, axis=-1)       # (n, h, wd, k*k*co)
+    dw = jax.lax.dot_general(
+        x.reshape(n * h * wd, ci), gcols.reshape(n * h * wd, -1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw = dw.reshape(ci, k, k, co).transpose(1, 2, 0, 3).astype(w.dtype)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    return dx.astype(x.dtype), dw, db
+
+
+head_convt.defvjp(_head_convt_vjp_fwd, _head_convt_vjp_bwd)

@@ -1,0 +1,116 @@
+"""edge_conv reformulations (tiny-Co heads, tiny-Ci stems, tiny-Co
+ConvTranspose) vs the highest-precision XLA conv, fwd + VJP, plus the
+ops.conv dispatch gates.  Reference sites: CRN output head (reference
+models/networks.py:794), PatchGAN stems (:816), G1 output convT (:540)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from supervised_gan_tpu.ops import conv as convmod
+from supervised_gan_tpu.ops import edge_conv as e
+
+DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _mk(H, Ci, Co, k, seed=0):
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (1, H, H, Ci), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (k, k, Ci, Co)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (Co,)) * 0.1
+    return x, w, b
+
+
+def _xla_conv(x, w, b, s, p):
+    y = lax.conv_general_dilated(
+        x, w, (s, s), ((p, p), (p, p)), dimension_numbers=DN,
+        precision="highest")
+    return y if b is None else y + b
+
+
+def _xla_convt(x, w, b, s, p):
+    k = w.shape[0]
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), ((k - 1 - p, k - 1 - p), (k - 1 - p, k - 1 - p)),
+        lhs_dilation=(s, s), dimension_numbers=DN, precision="highest")
+    return y if b is None else y + b
+
+
+def _check(fn, ref, x, w, b, rtol=2e-5):
+    y1, y2 = fn(x, w, b), ref(x, w, b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=rtol, atol=2e-5)
+    g = jax.random.normal(jax.random.PRNGKey(7), y1.shape)
+    d1 = jax.grad(lambda *a: jnp.vdot(fn(*a), g), (0, 1, 2))(x, w, b)
+    d2 = jax.grad(lambda *a: jnp.vdot(ref(*a), g), (0, 1, 2))(x, w, b)
+    for a, r in zip(d1, d2):
+        sc = float(jnp.max(jnp.abs(r))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(r) / sc,
+                                   rtol=0, atol=1e-5)
+
+
+# CRN head k3s1 64->1, PatchGAN head k4s1p1 512->1 (63px odd), strided
+# 2-channel head, p=2 variant
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (32, 64, 1, 3, 1, 1), (33, 512, 1, 4, 1, 1),
+    (32, 64, 2, 4, 2, 1), (16, 64, 4, 4, 2, 2)])
+def test_head_conv(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    assert e.head_conv_supported(x, w, s, p)
+    _check(lambda x, w, b: e.head_conv(x, w, b, s, p),
+           lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
+
+
+# PatchGAN stems (3ch image, 2ch map), CRN label embed k3 2->64
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (32, 3, 64, 4, 2, 1), (32, 2, 32, 4, 2, 1),
+    (32, 2, 64, 3, 1, 1), (32, 1, 32, 4, 2, 1)])
+def test_stem_conv(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    assert e.stem_conv_supported(x, w, s, p)
+    _check(lambda x, w, b: e.stem_conv(x, w, b, s, p),
+           lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
+
+
+# G1 output convT 64->2, unet output convT 32->1
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (16, 64, 2, 4, 2, 1), (16, 32, 1, 4, 2, 1), (8, 64, 4, 4, 2, 1)])
+def test_head_convt(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    assert e.head_convt_supported(x, w, s, p)
+    _check(lambda x, w, b: e.head_convt(x, w, b, s, p),
+           lambda x, w, b: _xla_convt(x, w, b, s, p), x, w, b)
+
+
+def test_conv2d_dispatches_head_and_stem():
+    """ops.conv2d routes lane-starved shapes through edge_conv and the
+    result still matches the direct XLA conv."""
+    x, w, b = _mk(32, 64, 1, 3)
+    y = convmod.conv2d(x, w, b, stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(_xla_conv(x, w, b, 1, 1)),
+                               rtol=2e-5, atol=2e-5)
+    x, w, b = _mk(32, 3, 64, 4)
+    y = convmod.conv2d(x, w, b, stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(_xla_conv(x, w, b, 2, 1)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv_transpose2d_dispatches_head():
+    x, w, b = _mk(16, 64, 2, 4)
+    y = convmod.conv_transpose2d(x, w, b, stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(_xla_convt(x, w, b, 2, 1)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mid_channel_shapes_not_dispatched():
+    """Normal conv shapes must stay on the native XLA path."""
+    x, w, _ = _mk(16, 64, 64, 3)
+    assert not e.head_conv_supported(x, w, 1, 1)
+    assert not e.stem_conv_supported(x, w, 1, 1)
+    x, w, _ = _mk(16, 64, 32, 4)
+    assert not e.head_convt_supported(x, w, 2, 1)
