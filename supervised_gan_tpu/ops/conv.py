@@ -51,6 +51,10 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
         # (0.052 vs 0.934)
         if edge_conv.stem_conv_supported(x, w, stride, padding):
             return edge_conv.stem_conv(x, w, b, stride, padding)
+        # CRN-trunk 3x3s: XLA forward kept, dw replaced by the one-dot
+        # form (vjp 0.263 vs 0.568 ms at 256px c64)
+        if edge_conv.mid_conv_supported(x, w, stride, padding):
+            return edge_conv.mid_conv(x, w, b, stride, padding)
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     y = lax.conv_general_dilated(

@@ -321,6 +321,81 @@ def _stem_vjp_bwd(stride, padding, res, g):
 stem_conv.defvjp(_stem_vjp_fwd, _stem_vjp_bwd)
 
 
+# ------------------------------------------------- one-dot dw mid convs
+
+def dw_onedot(x, g, wshape, stride, padding):
+    """dw of a conv as ONE patches^T @ g matmul (the stem-dw form at any
+    channel count).  XLA's native dw conv pays minor-dim relayouts of
+    both operands; this reads x once into an im2col patches matrix
+    (contiguous slices; space-to-depth first when strided) and contracts
+    over all positions in a single dot."""
+    kh, kw, ci, co = wshape
+    n, oh, ow, _ = g.shape
+    if stride == 1:
+        patches = _im2col(x, kh, kw, 1, padding, oh, ow)
+    else:
+        patches = _im2col_s2d(x, kh, stride, padding, oh, ow)
+    dw = jax.lax.dot_general(
+        patches.reshape(n * oh * ow, -1),
+        g.reshape(n * oh * ow, co).astype(patches.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if stride == 1:
+        return dw.reshape(kh, kw, ci, co)
+    return _w_s2d_inv(dw, kh, stride, ci, co)
+
+
+def mid_conv_supported(x, w, stride, padding):
+    """k3s1 mid-channel convs (the CRN trunk): XLA's forward is fine but
+    its dw runs at ~4% peak; only dw is replaced.  Measured win at
+    ci = co = 64 (vjp 0.263 vs 0.568 at 256px); ci = 128 LOSES (the
+    9*ci-lane patches matrix outgrows its benefit: 1.21 ms), hence the
+    tight channel gate."""
+    kh, kw, ci, co = w.shape
+    return (kh == kw and kh == 3 and stride == 1
+            and 16 <= ci <= 64 and 16 <= co <= 64
+            and isinstance(padding, int)
+            and x.shape[1] * x.shape[2] >= 128 * 128)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def mid_conv(x, w, b, stride, padding):
+    """Native-XLA forward conv with a one-dot-dw backward (callers gate
+    on mid_conv_supported); semantics = ops.conv.conv2d."""
+    return _mid_fwd(x, w, b, stride, padding)
+
+
+def _mid_fwd(x, w, b, stride, padding):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride),
+        ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _mid_vjp_fwd(x, w, b, stride, padding):
+    return _mid_fwd(x, w, b, stride, padding), (x, w, b is not None)
+
+
+def _mid_vjp_bwd(stride, padding, res, g):
+    x, w, has_b = res
+    kh = w.shape[0]
+    # dx: the SAME-shape conv of g with the flipped, io-transposed
+    # kernel — exactly as fast as the forward
+    wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
+    dx = jax.lax.conv_general_dilated(
+        g, wT, (1, 1), ((kh - 1 - padding, kh - 1 - padding),) * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dw = dw_onedot(x, g, w.shape, stride, padding).astype(w.dtype)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    return dx.astype(x.dtype), dw, db
+
+
+mid_conv.defvjp(_mid_vjp_fwd, _mid_vjp_bwd)
+
+
 # ------------------------------------------------------- convT heads
 
 def head_convt_supported(x, w, stride, padding, output_padding=0):

@@ -84,6 +84,21 @@ def test_head_convt(H, Ci, Co, k, s, p):
            lambda x, w, b: _xla_convt(x, w, b, s, p), x, w, b)
 
 
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [(128, 64, 64, 3, 1, 1)])
+def test_mid_conv(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    assert e.mid_conv_supported(x, w, s, p)
+    _check(lambda x, w, b: e.mid_conv(x, w, b, s, p),
+           lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
+
+
+def test_mid_conv_gates():
+    x, w, _ = _mk(128, 128, 64, 3)     # ci=128 measured a loss
+    assert not e.mid_conv_supported(x, w, 1, 1)
+    x, w, _ = _mk(64, 64, 64, 3)       # too small spatially
+    assert not e.mid_conv_supported(x, w, 1, 1)
+
+
 def test_conv2d_dispatches_head_and_stem():
     """ops.conv2d routes lane-starved shapes through edge_conv and the
     result still matches the direct XLA conv."""

@@ -81,12 +81,13 @@ def make_conv_case(xshape, wshape, s, p, mode="fwd"):
             args = (g, x, w)
         else:
             f, args = (lambda a, b: _e.head_convt(a, b, None, s, p)), (x, w)
-    elif mode in ("head", "stem", "headvjp", "stemvjp"):
+    elif mode in ("head", "stem", "mid", "headvjp", "stemvjp", "midvjp"):
         import sys as _s, os as _o
         _s.path.insert(0, _o.path.dirname(_o.path.dirname(
             _o.path.abspath(__file__))))
         from supervised_gan_tpu.ops import edge_conv as _e
-        op = _e.head_conv if mode.startswith("head") else _e.stem_conv
+        op = {"head": _e.head_conv, "stem": _e.stem_conv,
+              "mid": _e.mid_conv}[mode.replace("vjp", "")]
         if mode.endswith("vjp"):
             y = jax.eval_shape(lambda a: conv(a, w, s, p), x)
             g = jax.random.normal(_key(2), y.shape, DT)
@@ -212,6 +213,11 @@ CASES = {
     "hct_convT_256px_64_2":  ((1, 256, 256, 64), (4, 4, 64, 2), 2, 1, "hconvt"),
     "hctvjp_convT_256px_64_2": ((1, 256, 256, 64), (4, 4, 64, 2), 2, 1, "hconvtvjp"),
     "convTvjp_256px_64_2":   ((1, 256, 256, 64), (4, 4, 64, 2), 2, 1, "convtvjp"),
+    "dw_k3s1_256px_64_64":   ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "dw"),
+    "mid_k3s1_256px_64_64":  ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "mid"),
+    "midvjp_k3s1_256px_64_64": ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "midvjp"),
+    "midvjp_k3s1_256px_128_64": ((1, 256, 256, 128), (3, 3, 128, 64), 1, 1, "midvjp"),
+    "midvjp_k3s1_128px_64_64": ((1, 128, 128, 64), (3, 3, 64, 64), 1, 1, "midvjp"),
 }
 
 
