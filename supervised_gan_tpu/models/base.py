@@ -104,13 +104,27 @@ class BaseModel:
         return jax.device_put(state)
 
     # ------------------------------------------------------------- rng -- #
+    # Per-step keys fold on the HOST CPU backend: folding on the device
+    # costs two extra jit dispatches per training step through the relay
+    # (profiled: jit_convert_element_type + jit__threefry_fold_in before
+    # every train_step).  threefry is bit-identical across backends, and
+    # the numpy result rides the step call's argument upload.
+    _cpu_key = None
+
+    def _host_fold(self, n):
+        if self._cpu_key is None:
+            cpu = jax.devices('cpu')[0]
+            self._cpu_key = jax.device_put(self.master_key, cpu)
+        import numpy as _np
+        return _np.asarray(jax.random.fold_in(self._cpu_key, n))
+
     def next_step_key(self):
         self._step_count += 1
-        return jax.random.fold_in(self.master_key, 2 * self._step_count + 1)
+        return self._host_fold(2 * self._step_count + 1)
 
     def next_test_key(self):
         self._test_count += 1
-        return jax.random.fold_in(self.master_key, 2 * self._test_count)
+        return self._host_fold(2 * self._test_count)
 
     # ------------------------------------------------------ checkpoints -- #
     # Writes are asynchronous: the device->host snapshot happens on the

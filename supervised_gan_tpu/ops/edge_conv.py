@@ -294,25 +294,15 @@ def _stem_vjp_bwd(stride, padding, res, g):
         dw = _w_s2d_inv(dw, kh, stride, ci, co).astype(w.dtype)
     s = stride
     h, wd = x.shape[1], x.shape[2]
+    wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
     if s > 1:
         # dx is a ConvTranspose to tiny channels — the phase-form head
-        wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
         dx = _head_convt_fwd(g, wT, None, s, padding)
     else:
-        # dx: tiny-Ci scatter — the head-dx broadcast dual
-        dcols = jax.lax.dot_general(
-            gm, w.reshape(kh * kw * ci, co).astype(gm.dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())))
-        dcols = dcols.reshape(n, oh, ow, kh, kw, ci)
-        dxp = jnp.zeros((n, h + 2 * padding, wd + 2 * padding, ci),
-                        jnp.float32)
-        for ky in range(kh):
-            for kx in range(kw):
-                dxp = dxp.at[:, ky:ky + oh, kx:kx + ow, :].add(
-                    dcols[:, :, :, ky, kx, :].astype(jnp.float32))
-        if padding:
-            dxp = dxp[:, padding:-padding, padding:-padding, :]
-        dx = dxp
+        # dx is the full conv of g back to tiny channels — a head conv
+        # (gather form; the scatter dual profiled 0.6 ms/step of
+        # dynamic-update-slice)
+        dx = _head_fwd(g, wT, None, 1, kh - 1 - padding)
     dx = dx.astype(x.dtype)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
     return dx, dw, db
@@ -388,6 +378,11 @@ def _mid_vjp_bwd(stride, padding, res, g):
     dx = jax.lax.conv_general_dilated(
         g, wT, (1, 1), ((kh - 1 - padding, kh - 1 - padding),) * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # NOTE: routing this dw through the pallas kernel measured isolated
+    # 2.6x (0.053 vs 0.14 ms) but LOST end-to-end — the packing
+    # conversions around the custom-call do not fuse at 256px (the same
+    # lesson as the fwd kernel's >=512px dispatch gate); the pure-XLA
+    # one-dot form composes.
     dw = dw_onedot(x, g, w.shape, stride, padding).astype(w.dtype)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
     return dx.astype(x.dtype), dw, db
@@ -462,13 +457,14 @@ def _head_convt_fwd(x, w, b, stride, padding):
                     acc = acc + t[:, pl + dy:pl + dy + O,
                                   pl + dx_:pl + dx_ + OW,
                                   j * co:(j + 1) * co]
-            row.append(acc)
+            if b is not None:
+                acc = acc + b.astype(jnp.float32)
+            # cast BEFORE the interleave: the transpose below is a real
+            # relayout and f32 doubles its traffic (profiled 1.1 ms/step)
+            row.append(acc.astype(x.dtype))
         phases.append(row)
     y = jnp.stack([jnp.stack(row) for row in phases])    # (s, s, n, O, OW, co)
-    y = y.transpose(2, 3, 0, 4, 1, 5).reshape(n, s * O, s * OW, co)
-    if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.transpose(2, 3, 0, 4, 1, 5).reshape(n, s * O, s * OW, co)
 
 
 def _head_convt_vjp_fwd(x, w, b, stride, padding):

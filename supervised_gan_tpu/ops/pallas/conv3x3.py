@@ -55,11 +55,17 @@ _INTERPRET = False      # set True in tests to run the kernel on CPU
 import os as _os
 _MIN_PIXELS = int(_os.environ.get('SGAN_TPU_CONV3_MIN_PIXELS', 512 * 512))
 _DISABLED = _os.environ.get('SGAN_TPU_CONV3', '') == '0'
-# Backward through XLA's joint conv-grad by default: measured 14.7 vs 11.8
-# img/s on the DSGAN bench against the split pallas-dx + XLA-dw form
-# (BENCH_NOTES.md round 2).  SGAN_TPU_CONV3_PALLAS_BWD=1 re-enables the
-# pallas dx kernel for further tuning.
-_PALLAS_BWD = _os.environ.get('SGAN_TPU_CONV3_PALLAS_BWD', '') == '1'
+# Backward mode (SGAN_TPU_CONV3_PALLAS_BWD) — default '0', XLA's joint
+# conv-grad.  The v2 dw kernel measures 5.1x in isolation (0.282 ms vs
+# XLA's 1.438 at 512px c64) but every split variant LOSES end-to-end on
+# the DSGAN bench (profiled A/B, BENCH_NOTES round 2):
+#   '2': XLA dx + pallas dw v2 — 45.8 vs 40.4 ms/step device time: the
+#        split forfeits the joint fusion's shared relayouts and epilogue
+#        fusions (+3.7 ms data formatting, +1.6 broadcast).
+#   '3': pallas dx + pallas dw v2 — worse still (+5 ms of de-fused
+#        instance-norm passes around the opaque dx custom-call).
+#   '1': v1 split (M-contracted dw) — the round-2 original negative.
+_PALLAS_BWD = _os.environ.get('SGAN_TPU_CONV3_PALLAS_BWD', '0')
 
 
 def _set_interpret(flag):
@@ -319,6 +325,122 @@ def _conv3x3_dw(x, g):
     return _unband_dw(dB, P, C).astype(x.dtype)
 
 
+def _dwT_kernel(gt_hbm, x_hbm, o_ref, xbuf, gbuf, *rest, BH, W2, S):
+    """dw reduction v2: natural-form MXU dots, zero in-kernel relayouts.
+
+    v1's dots contracted over the M (pixel) dim of two (M, L) operands,
+    which Mosaic implements by relaying out an operand per tap — measured
+    slower than XLA's joint transpose (BENCH_NOTES round 2).  Here g
+    arrives PRE-TRANSPOSED from XLA as (L, H*W2) (one relayout of the
+    whole array, ~0.1 ms), so every dot is
+        dBt[tap] += dot((L, M_blk) g-block, (M_blk, L) x-operand)
+    — contraction over lanes-of-LHS x sublanes-of-RHS, the MXU's native
+    orientation.  X-side tap slices stay free exactly as in the forward
+    kernel.  Output is dw banded and transposed: dBt[tap][l_g, l_x].
+    """
+    sems = rest[-1]
+    sbufs = rest[:-1]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    M = BH * W2
+
+    def dma_x(block, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[0, pl.ds(block * BH, BH + 2)],
+            xbuf.at[slot], sems.at[slot])
+
+    def dma_g(block, slot):
+        return pltpu.make_async_copy(
+            gt_hbm.at[:, pl.ds(block * M, M)],
+            gbuf.at[slot], sems.at[2 + slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma_x(0, 0).start()
+        dma_g(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma_x(i + 1, (i + 1) % 2).start()
+        dma_g(i + 1, (i + 1) % 2).start()
+
+    dma_x(i, i % 2).wait()
+    dma_g(i, i % 2).wait()
+    xb = xbuf[i % 2]
+    gb = gbuf[i % 2]                      # (L, M)
+    for s in range(1, S):
+        sbufs[s - 1][...] = xb[:, s:W2 + s, :]
+
+    L = xb.shape[-1]
+    for ky in range(3):
+        for s in range(S):
+            op = (xb[ky:ky + BH, 0:W2, :] if s == 0
+                  else sbufs[s - 1][ky:ky + BH])
+            d = jax.lax.dot_general(
+                gb, op.reshape(M, L),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(i == 0)
+            def _(d=d, ky=ky, s=s):
+                o_ref[ky * S + s] = d
+
+            @pl.when(i > 0)
+            def _(d=d, ky=ky, s=s):
+                o_ref[ky * S + s] += d
+
+
+def dw_v2_supported(x, g):
+    """Geometry gate for _conv3x3_dw_v2 (same packing rules as the fwd
+    kernel); callers must also gate on the TPU backend."""
+    n, h, w, c = x.shape
+    if x.shape != g.shape or n != 1:
+        return False
+    if c % 128 == 0:
+        p = 1
+    elif 128 % c == 0:
+        p = 128 // c
+    else:
+        return False
+    return (w % p == 0 and h % 8 == 0 and (w // p) % 8 == 0
+            and _pick_bh(h) is not None and h * w >= 128 * 128)
+
+
+def _conv3x3_dw_v2(x, g):
+    """dw via the natural-orientation pallas reduction kernel."""
+    N, H, W, C = x.shape
+    P = 1 if C % 128 == 0 else 128 // C
+    S = 2 if P >= 2 else 3
+    L = P * C
+    W2 = W // P
+    BH = _pick_bh(H)
+    W2P = -(-(W2 + S - 1) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, P * W2P - W - 1), (0, 0)))
+    xpp = xp.reshape(1, H + 2, W2P, L)
+    gT = g.reshape(H * W2, L).T            # ONE XLA relayout
+    dBt = pl.pallas_call(
+        functools.partial(_dwT_kernel, BH=BH, W2=W2, S=S),
+        grid=(H // BH,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # g transposed
+            pl.BlockSpec(memory_space=pl.ANY),          # x packed + padded
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * S, L, L), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, BH + 2, W2P, L), x.dtype),
+            pltpu.VMEM((2, L, BH * W2), g.dtype),
+        ] + [pltpu.VMEM((BH + 2, W2, L), x.dtype) for _ in range(S - 1)] + [
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(gT, xpp)
+    dB = dBt.transpose(0, 2, 1)
+    return _unband_dw(dB, P, C).astype(x.dtype)
+
+
 def _xla_conv(x, w, b):
     y = lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
@@ -344,14 +466,15 @@ def _vjp_fwd(x, w, b):
 
 def _vjp_bwd(res, g):
     x, w, has_b = res
-    if _PALLAS_BWD:
-        # all-pallas backward: both kernels stream standard-layout
-        # operands, avoiding XLA's ~2.5 ms minor-dim relayout copies per
-        # 512^2 operand around its transpose convs (profiled).
+    if _PALLAS_BWD in ('1', '2', '3'):
         # dx: SAME conv of g with the flipped, io-transposed kernel.
         w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-        dx = _conv3x3_fwd(g, w_flip, None)
-        dw = _conv3x3_dw(x, g)
+        if _PALLAS_BWD == '2':
+            dx = _xla_conv(g, w_flip, None)     # fusible with IN bwd
+        else:
+            dx = _conv3x3_fwd(g, w_flip, None)
+        dw = (_conv3x3_dw(x, g) if _PALLAS_BWD == '1'
+              else _conv3x3_dw_v2(x, g))
     else:
         # joint XLA conv grads
         _, pullback = jax.vjp(lambda xv, wv: _xla_conv(xv, wv, None), x, w)

@@ -59,6 +59,13 @@ def make_conv_case(xshape, wshape, s, p, mode="fwd"):
             _, pull = jax.vjp(lambda xv, wv: convT(xv, wv, s, p), a, b)
             return pull(gv)
         args = (g, x, w)
+    elif mode == "p3dw2":
+        import sys as _s, os as _o
+        _s.path.insert(0, _o.path.dirname(_o.path.dirname(
+            _o.path.abspath(__file__))))
+        from supervised_gan_tpu.ops.pallas import conv3x3 as _p3
+        g = jax.random.normal(_key(2), xshape, DT)
+        f, args = (lambda a, b: _p3._conv3x3_dw_v2(b, a)), (g, x)
     elif mode == "pconvt":
         import sys as _s, os as _o
         _s.path.insert(0, _o.path.dirname(_o.path.dirname(
@@ -214,6 +221,9 @@ CASES = {
     "hctvjp_convT_256px_64_2": ((1, 256, 256, 64), (4, 4, 64, 2), 2, 1, "hconvtvjp"),
     "convTvjp_256px_64_2":   ((1, 256, 256, 64), (4, 4, 64, 2), 2, 1, "convtvjp"),
     "dw_k3s1_256px_64_64":   ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "dw"),
+    "dw_k3s1_512px_64_64":   ((1, 512, 512, 64), (3, 3, 64, 64), 1, 1, "dw"),
+    "p3dw2_k3s1_512px_64_64": ((1, 512, 512, 64), (3, 3, 64, 64), 1, 1, "p3dw2"),
+    "p3dw2_k3s1_256px_64_64": ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "p3dw2"),
     "mid_k3s1_256px_64_64":  ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "mid"),
     "midvjp_k3s1_256px_64_64": ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "midvjp"),
     "midvjp_k3s1_256px_128_64": ((1, 256, 256, 128), (3, 3, 128, 64), 1, 1, "midvjp"),
