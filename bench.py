@@ -69,6 +69,12 @@ def main():
              'A_paths': ['bench.png'] * opt.batchSize}
     model.set_input(batch)
 
+    # Per-step dispatch: through the relay the single-step program
+    # already pipelines back-to-back (device cadence == duration,
+    # profiled), while the scanned multi-step program runs 4-15% slower
+    # per iteration (carry overhead) — chunked dispatch
+    # (--steps_per_dispatch / train_chunk) measured 21.2-21.3 vs 21.38
+    # img/s here and stays an opt-in for dispatch-bound environments.
     for _ in range(5):
         model.optimize_parameters()
     model.get_current_errors()   # value fetch = true barrier

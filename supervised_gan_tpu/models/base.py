@@ -89,10 +89,87 @@ class BaseModel:
         set_g_grad_vjp_hint(any(
             has_pallas_conv_sites(v) for v in vars(self).values()
             if isinstance(v, Layer)))
+        self._raw_step_fn = step_fn        # kept for the multi-step scan
         if self.mesh is not None:
             from ..parallel import shard_train_step
             return shard_train_step(step_fn, self.mesh, state_template)
         return jax.jit(step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------- multi-step scan -- #
+    # One device dispatch per K training iterations: lax.scan over the
+    # recipe's step with stacked inputs and in-graph per-step keys (the
+    # same fold_in(master, 2*step+1) sequence next_step_key produces;
+    # agreement with per-step training is exact up to XLA reassociation
+    # in the differently-fused scanned program).  Amortizes the
+    # relay's per-dispatch cost (~6 ms/step wall vs the 40 ms device step
+    # on the DSGAN bench) and is the natural XLA training-loop form.
+    _multi_step = None
+    _multi_k = None
+
+    def _step_inputs(self):
+        """The inputs dict the recipe's optimize_parameters feeds its
+        train step for the CURRENT set_input; models override."""
+        raise NotImplementedError
+
+    def _step_lrs(self):
+        """The learning-rate argument the recipe's train step takes."""
+        return self.lrs()
+
+    def train_chunk(self, batches):
+        """Run len(batches) training iterations in one dispatch.
+
+        Equivalent to set_input(b); optimize_parameters() per batch —
+        same rng keys, same final state; metrics/taps are the last
+        step's.  Falls back to per-step calls when the recipe does not
+        define _step_inputs or a mesh is active."""
+        ok = (self.mesh is None
+              and type(self)._step_inputs is not BaseModel._step_inputs)
+        if not ok or len(batches) == 1:
+            for b in batches:
+                self.set_input(b)
+                self.optimize_parameters()
+            return
+        ins = []
+        for b in batches:
+            self.set_input(b)
+            ins.append(self._step_inputs())
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ins)
+        self.train_chunk_stacked(stacked, len(batches))
+
+    def train_chunk_stacked(self, stacked, k):
+        """Dispatch k iterations whose per-step inputs are already
+        stacked on the leading axis (callers that reuse or prefetch
+        device-stacked inputs skip train_chunk's per-batch set_input —
+        its eager ops cost several relay round-trips per batch)."""
+        if self._multi_step is None or self._multi_k != k:
+            step_fn = self._raw_step_fn
+
+            def multi(state, sins, master_key, ns, lrs):
+                def body(st, xs):
+                    inp, n = xs
+                    key = jax.random.fold_in(master_key, n)
+                    st, metrics, taps = step_fn(st, inp, key, lrs)
+                    return st, (metrics, taps)
+                state, ys = jax.lax.scan(body, state, (sins, ns))
+                last = jax.tree_util.tree_map(lambda a: a[-1], ys)
+                return state, last[0], last[1]
+
+            self._multi_step = jax.jit(multi, donate_argnums=(0,))
+            self._multi_k = k
+        import numpy as _np
+        ns = _np.asarray(
+            [2 * (self._step_count + 1 + i) + 1 for i in range(k)],
+            _np.uint32)
+        self._step_count += k
+        self.state, self._metrics, taps = self._multi_step(
+            self.state, stacked, self.master_key, ns, self._step_lrs())
+        self._taps = taps
+        self._after_chunk(taps)
+
+    def _after_chunk(self, taps):
+        """Post-step attribute wiring (real_A/fake_B etc.); models with
+        extra bookkeeping override."""
+        pass
 
     def put_state(self, state):
         """Device-place freshly built train state; replicated over the mesh

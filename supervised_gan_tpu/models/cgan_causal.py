@@ -192,10 +192,16 @@ class CGANCausalModel(TwoGroupModel):
 
     # ------------------------------------------------------------------- #
     def optimize_parameters(self):
-        inputs = {'A': self.input_A, 'B': self.input_B,
-                  'fake_A': self.input_fake_A}
         self.state, self._metrics, taps = self._train_step(
-            self.state, inputs, self.next_step_key(), self.lrs())
+            self.state, self._step_inputs(), self.next_step_key(),
+            self.lrs())
+        self._after_chunk(taps)
+
+    def _step_inputs(self):
+        return {'A': self.input_A, 'B': self.input_B,
+                'fake_A': self.input_fake_A}
+
+    def _after_chunk(self, taps):
         self.real_A, self.real_B = self.input_A, self.input_B
         self.fake_A = self.input_fake_A
         self._taps = taps

@@ -171,9 +171,15 @@ class CGANCycleModel(TwoGroupModel):
 
     # ------------------------------------------------------------------- #
     def optimize_parameters(self):
-        inputs = {'A': self.input_A, 'B': self.input_B}
         self.state, self._metrics, taps = self._train_step(
-            self.state, inputs, self.next_step_key(), self.lrs())
+            self.state, self._step_inputs(), self.next_step_key(),
+            self.lrs())
+        self._after_chunk(taps)
+
+    def _step_inputs(self):
+        return {'A': self.input_A, 'B': self.input_B}
+
+    def _after_chunk(self, taps):
         self.real_A, self.real_B = self.input_A, self.input_B
         self._taps = taps
 

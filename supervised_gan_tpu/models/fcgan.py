@@ -194,8 +194,19 @@ class FCGANModel(BaseModel):
         self.image_paths = input['A_paths' if AorB else 'B_paths']
 
     def optimize_parameters(self):
-        self.state, self._metrics, self.fake = self._train_step(
-            self.state, self.input, self.next_step_key(), self.old_lr)
+        self.state, self._metrics, taps = self._train_step(
+            self.state, self._step_inputs(), self.next_step_key(),
+            self._step_lrs())
+        self._after_chunk(taps)
+
+    def _step_inputs(self):
+        return self.input
+
+    def _step_lrs(self):
+        return self.old_lr
+
+    def _after_chunk(self, taps):
+        self.fake = taps
         self.real = self.input
 
     def test(self):

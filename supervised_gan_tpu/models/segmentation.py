@@ -294,10 +294,18 @@ class SegmentationModel(SegAccumulatorMixin, BaseModel):
 
     # ------------------------------------------------------------------- #
     def optimize_parameters(self):
-        inputs = {'A': self.input_A, 'B': self.input_B, 'label': self.label}
         self.state, self._metrics, taps = self._train_step(
-            self.state, inputs, self.next_step_key(),
-            {'lr': self.old_lr, 'lr1': self.old_lr, 'lr2': self.old_lr})
+            self.state, self._step_inputs(), self.next_step_key(),
+            self._step_lrs())
+        self._after_chunk(taps)
+
+    def _step_inputs(self):
+        return {'A': self.input_A, 'B': self.input_B, 'label': self.label}
+
+    def _step_lrs(self):
+        return {'lr': self.old_lr, 'lr1': self.old_lr, 'lr2': self.old_lr}
+
+    def _after_chunk(self, taps):
         self.real_A, self.real_B = self.input_A, self.input_B
         self.logit, self.fake_B = taps['logit'], taps['fake_B']
 

@@ -208,10 +208,18 @@ class SegmentationCycleModel(SegmentationModel):
 
     # ------------------------------------------------------------------- #
     def optimize_parameters(self):
-        inputs = {'A': self.input_A, 'B': self.input_B, 'label': self.label}
         self.state, self._metrics, taps = self._train_step(
-            self.state, inputs, self.next_step_key(),
-            {'lr': self.old_lr, 'lr1': self.old_lr1, 'lr2': self.old_lr2})
+            self.state, self._step_inputs(), self.next_step_key(),
+            self._step_lrs())
+        self._after_chunk(taps)
+
+    def _step_inputs(self):
+        return {'A': self.input_A, 'B': self.input_B, 'label': self.label}
+
+    def _step_lrs(self):
+        return {'lr': self.old_lr, 'lr1': self.old_lr1, 'lr2': self.old_lr2}
+
+    def _after_chunk(self, taps):
         self.real_A, self.real_B = self.input_A, self.input_B
         self.logit, self.fake_B = taps['logit'], taps['fake_B']
         self.recon_A = taps['recon_A']

@@ -26,8 +26,16 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 
 # Lane-starved channel counts dispatch to the fused reformulations in
 # edge_conv.py (pure XLA, backend-independent; measured on v5e in
-# tools/microbench.py / BENCH_NOTES.md round 2).
+# tools/microbench.py / BENCH_NOTES.md round 2).  Per-family kill
+# switches for A/B profiling.
 _EDGE = os.environ.get("SGAN_TPU_EDGE_CONV", "1") != "0"
+_EDGE_HEAD = _EDGE and os.environ.get("SGAN_TPU_EDGE_HEAD", "1") != "0"
+_EDGE_STEM = _EDGE and os.environ.get("SGAN_TPU_EDGE_STEM", "1") != "0"
+# mid (one-dot dw for CRN-trunk 3x3s) measured a 2.2x ISOLATED vjp win
+# but a 0.8 ms/step net LOSS in the full DSGAN step (A/B device
+# profiles: 40.52 vs 39.74 ms/step) — the 75 MB patches matrix
+# materializes through an unfused relayout in-step.  Default off.
+_EDGE_MID = _EDGE and os.environ.get("SGAN_TPU_EDGE_MID", "0") != "0"
 
 
 def _cast(x, w, compute_dtype):
@@ -43,17 +51,20 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
     x, w = _cast(x, w, compute_dtype)
     if _EDGE:
         from . import edge_conv
-        if edge_conv.head_conv_supported(x, w, stride, padding):
+        if _EDGE_HEAD and edge_conv.head_conv_supported(x, w, stride,
+                                                        padding):
             return edge_conv.head_conv(x, w, b, stride, padding)
         # stride-1 stems win outright (0.013 vs 0.042 ms); strided stems
         # go through the space-to-depth form — forward ties XLA (0.277
         # vs 0.289 at the 512px 3->64 D stem) and the custom vjp is 18x
         # (0.052 vs 0.934)
-        if edge_conv.stem_conv_supported(x, w, stride, padding):
+        if _EDGE_STEM and edge_conv.stem_conv_supported(x, w, stride,
+                                                         padding):
             return edge_conv.stem_conv(x, w, b, stride, padding)
         # CRN-trunk 3x3s: XLA forward kept, dw replaced by the one-dot
         # form (vjp 0.263 vs 0.568 ms at 256px c64)
-        if edge_conv.mid_conv_supported(x, w, stride, padding):
+        if _EDGE_MID and edge_conv.mid_conv_supported(x, w, stride,
+                                                       padding):
             return edge_conv.mid_conv(x, w, b, stride, padding)
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding

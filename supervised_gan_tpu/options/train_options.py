@@ -66,5 +66,10 @@ class TrainOptions(BaseOptions):
         p.add_argument('--profile_dir', type=str, default='',
                        help='if set, capture a jax.profiler trace of steps '
                             '10-20 into this directory (TPU timeline)')
+        p.add_argument('--steps_per_dispatch', type=int, default=1,
+                       help='scan this many training iterations inside one '
+                            'device dispatch (TPU; bit-identical to '
+                            'per-step training, display/print/save cadence '
+                            'is respected by flushing at boundaries)')
 
         self.isTrain = True

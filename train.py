@@ -38,15 +38,36 @@ def main():
 
     for epoch in range(1, opt.niter + opt.niter_decay + 1):
         epoch_start_time = time.time()
+        spd = max(1, int(getattr(opt, 'steps_per_dispatch', 1) or 1))
+        pending = []
         for i, data in enumerate(dataset):
             iter_start_time = time.time()
             total_steps += opt.batchSize
             epoch_iter = total_steps - dataset_size * (epoch - 1)
-            model.set_input(data)
             if opt.profile_dir and total_steps == 10 * opt.batchSize:
                 import jax
                 jax.profiler.start_trace(opt.profile_dir)
-            model.optimize_parameters()
+            if spd > 1:
+                # chunked dispatch (--steps_per_dispatch): accumulate
+                # batches and scan them in ONE device call; flush before
+                # any step whose display/print/save cadence must observe
+                # fresh per-step outputs
+                pending.append(data)
+                boundary = (total_steps % opt.display_freq == 0
+                            or total_steps % opt.print_freq == 0
+                            or total_steps % opt.save_latest_freq == 0
+                            or (opt.profile_dir
+                                and total_steps in (9 * opt.batchSize,
+                                                    19 * opt.batchSize))
+                            or i + 1 == dataset_size // opt.batchSize)
+                if len(pending) >= spd or boundary:
+                    model.train_chunk(pending)
+                    pending = []
+                else:
+                    continue
+            else:
+                model.set_input(data)
+                model.optimize_parameters()
             if opt.profile_dir and total_steps == 20 * opt.batchSize:
                 import jax
                 model.get_current_errors()  # sync before stopping the trace
@@ -69,6 +90,10 @@ def main():
                 print('saving the latest model (epoch %d, total_steps %d)'
                       % (epoch, total_steps))
                 model.save('latest')
+
+        if spd > 1 and pending:
+            model.train_chunk(pending)
+            pending = []
 
         if epoch % opt.save_epoch_freq == 0:
             print('saving the model at the end of epoch %d, iters %d'
