@@ -181,19 +181,20 @@ class BaseModel:
         return jax.device_put(state)
 
     # ------------------------------------------------------------- rng -- #
-    # Per-step keys fold on the HOST CPU backend: folding on the device
-    # costs two extra jit dispatches per training step through the relay
-    # (profiled: jit_convert_element_type + jit__threefry_fold_in before
-    # every train_step).  threefry is bit-identical across backends, and
-    # the numpy result rides the step call's argument upload.
-    _cpu_key = None
+    # Per-step keys fold in PURE NUMPY (utils/prng.py, bit-exact threefry
+    # fold_in validated against jax.random in tests) and ride the step
+    # call's argument upload.  Folding on device costs two extra jit
+    # dispatches per step; a first attempt that folded on the "CPU
+    # backend" was far worse — through the relay, np.asarray of its
+    # result is a synchronous ~30 ms value FETCH per step (profiled:
+    # step cadence 76 ms vs the 40 ms device duration).
+    _np_key = None
 
     def _host_fold(self, n):
-        if self._cpu_key is None:
-            cpu = jax.devices('cpu')[0]
-            self._cpu_key = jax.device_put(self.master_key, cpu)
-        import numpy as _np
-        return _np.asarray(jax.random.fold_in(self._cpu_key, n))
+        if self._np_key is None:
+            self._np_key = np.asarray(self.master_key)
+        from ..utils.prng import fold_in as np_fold_in
+        return np_fold_in(self._np_key, n)
 
     def next_step_key(self):
         self._step_count += 1

@@ -164,9 +164,10 @@ def _head_vjp_fwd(x, w, b, stride, padding):
 
 def _head_vjp_bwd(stride, padding, res, g):
     x, w, has_b = res
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    g = g.astype(x.dtype)
     dx = _head_dx(g, w, x.shape, stride, padding).astype(x.dtype)
     dw = _head_dw(x, g, w.shape, stride, padding).astype(w.dtype)
-    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
     return dx, dw, db
 
 
@@ -280,6 +281,10 @@ def _stem_vjp_fwd(x, w, b, stride, padding):
 
 def _stem_vjp_bwd(stride, padding, res, g):
     x, w, has_b = res
+    # the cotangent often arrives f32 (loss-side upcasts); all other
+    # grads in the framework flow bf16, and keeping g f32 doubles the
+    # dx phase-interleave relayout traffic (profiled ~1.6 ms/step)
+    g = g.astype(x.dtype)
     kh, kw, ci, co = w.shape
     n, oh, ow, _ = g.shape
     gm = g.reshape(n * oh * ow, co)
@@ -473,6 +478,8 @@ def _head_convt_vjp_fwd(x, w, b, stride, padding):
 
 def _head_convt_vjp_bwd(stride, padding, res, g):
     x, w, has_b = res
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    g = g.astype(x.dtype)
     k = w.shape[0]
     ci, co = w.shape[2], w.shape[3]
     n, h, wd, _ = x.shape
@@ -511,7 +518,6 @@ def _head_convt_vjp_bwd(stride, padding, res, g):
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dw = dw.reshape(ci, k, k, co).transpose(1, 2, 0, 3).astype(w.dtype)
-    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
     return dx.astype(x.dtype), dw, db
 
 

@@ -144,3 +144,17 @@ def test_visualizer_single_pane_no_server(tmp_path):
     vz.display_current_results(
         OrderedDict([('a', np.zeros((8, 8, 3), np.uint8))]), epoch=1)
     assert vz.vis is None
+
+
+def test_numpy_fold_in_bit_exact_with_jax():
+    """utils/prng.fold_in must be BIT-EXACT with jax.random.fold_in —
+    per-step training keys rely on it (models/base.py next_step_key)."""
+    import jax
+    import numpy as np
+    from supervised_gan_tpu.utils.prng import fold_in
+    for seed in (0, 1, 42, 987654321):
+        k = jax.random.PRNGKey(seed)
+        for n in (0, 1, 3, 17, 2**31 + 5, 2**32 - 1):
+            a = np.asarray(jax.random.fold_in(k, n))
+            b = fold_in(np.asarray(k), n)
+            assert (a == b).all(), (seed, n, a, b)
