@@ -103,8 +103,7 @@ class BaseModel:
     # in the differently-fused scanned program).  Amortizes the
     # relay's per-dispatch cost (~6 ms/step wall vs the 40 ms device step
     # on the DSGAN bench) and is the natural XLA training-loop form.
-    _multi_step = None
-    _multi_k = None
+    _multi_steps = None   # {k: compiled scan program}
 
     def _step_inputs(self):
         """The inputs dict the recipe's optimize_parameters feeds its
@@ -141,7 +140,23 @@ class BaseModel:
         stacked on the leading axis (callers that reuse or prefetch
         device-stacked inputs skip train_chunk's per-batch set_input —
         its eager ops cost several relay round-trips per batch)."""
-        if self._multi_step is None or self._multi_k != k:
+        if self._multi_steps is None:
+            self._multi_steps = {}
+        if k not in self._multi_steps and self._multi_steps:
+            # A second scan length would recompile the whole scanned
+            # program (~10 min through the relay).  Chunks whose length
+            # differs from the already-compiled one (print/save cadence
+            # boundaries not aligned to --steps_per_dispatch) run through
+            # the per-step program instead.
+            taps = None
+            for i in range(k):
+                inp = jax.tree_util.tree_map(lambda a, i=i: a[i], stacked)
+                self.state, self._metrics, taps = self._train_step(
+                    self.state, inp, self.next_step_key(), self._step_lrs())
+            self._taps = taps
+            self._after_chunk(taps)
+            return
+        if k not in self._multi_steps:
             step_fn = self._raw_step_fn
 
             def multi(state, sins, master_key, ns, lrs):
@@ -154,14 +169,13 @@ class BaseModel:
                 last = jax.tree_util.tree_map(lambda a: a[-1], ys)
                 return state, last[0], last[1]
 
-            self._multi_step = jax.jit(multi, donate_argnums=(0,))
-            self._multi_k = k
+            self._multi_steps[k] = jax.jit(multi, donate_argnums=(0,))
         import numpy as _np
         ns = _np.asarray(
             [2 * (self._step_count + 1 + i) + 1 for i in range(k)],
             _np.uint32)
         self._step_count += k
-        self.state, self._metrics, taps = self._multi_step(
+        self.state, self._metrics, taps = self._multi_steps[k](
             self.state, stacked, self.master_key, ns, self._step_lrs())
         self._taps = taps
         self._after_chunk(taps)

@@ -473,8 +473,15 @@ def _vjp_bwd(res, g):
             dx = _xla_conv(g, w_flip, None)     # fusible with IN bwd
         else:
             dx = _conv3x3_fwd(g, w_flip, None)
-        dw = (_conv3x3_dw(x, g) if _PALLAS_BWD == '1'
-              else _conv3x3_dw_v2(x, g))
+        if _PALLAS_BWD == '1':
+            dw = _conv3x3_dw(x, g)
+        elif dw_v2_supported(x, g):
+            dw = _conv3x3_dw_v2(x, g)
+        else:
+            # v2 geometry gate failed (e.g. SGAN_TPU_CONV3_MIN_PIXELS
+            # lowered below the kernel's packing rules): XLA dw.
+            _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None), w)
+            (dw,) = pb(g)
     else:
         # joint XLA conv grads
         _, pullback = jax.vjp(lambda xv, wv: _xla_conv(xv, wv, None), x, w)

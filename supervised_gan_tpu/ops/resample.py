@@ -77,17 +77,22 @@ def avg_pool(x, kernel, stride=None, padding=0):
     s = (stride, stride) if isinstance(stride, int) else stride
     n, h, w, c = x.shape
     if (k == s and padding == 0 and h % k[0] == 0 and w % k[1] == 0):
-        # block-diagonal mean matrices (out, in)
+        # block-diagonal mean matrices (out, in).  1/k is exact in bf16
+        # only for power-of-two k; otherwise keep the matrices and the
+        # intermediate in f32 (matches the reduce_window path's numerics)
+        # and cast once at the end.
+        pow2 = (k[0] & (k[0] - 1)) == 0 and (k[1] & (k[1] - 1)) == 0
+        mdt = x.dtype if pow2 else jnp.float32
         Mh = jnp.zeros((h // k[0], h), jnp.float32)
         Mh = Mh.at[jnp.repeat(jnp.arange(h // k[0]), k[0]),
                    jnp.arange(h)].set(1.0 / k[0])
         Mw = jnp.zeros((w // k[1], w), jnp.float32)
         Mw = Mw.at[jnp.repeat(jnp.arange(w // k[1]), k[1]),
                    jnp.arange(w)].set(1.0 / k[1])
-        y = jnp.einsum('oh,nhwc->nowc', Mh.astype(x.dtype), x,
+        y = jnp.einsum('oh,nhwc->nowc', Mh.astype(mdt), x,
                        preferred_element_type=jnp.float32)
-        y = jnp.einsum('pw,nhwc->nhpc', Mw.astype(x.dtype),
-                       y.astype(x.dtype),
+        y = jnp.einsum('pw,nhwc->nhpc', Mw.astype(mdt),
+                       y.astype(mdt),
                        preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
     p = ((0, 0), (padding, padding), (padding, padding), (0, 0))

@@ -162,3 +162,40 @@ def test_conv2d_layer_dispatch_k4s2(monkeypatch):
         core.set_pallas_enabled(old)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------------ dw v2 --
+def test_dw_v2_matches_xla_interpret():
+    """_conv3x3_dw_v2 parity (interpret mode), like the convt4s2 tests."""
+    H, W, C = 128, 128, 128       # smallest geometry the v2 gate admits
+    x, w, _ = _mk(H, W, C, seed=5)
+    g = jax.random.normal(jax.random.PRNGKey(11), (1, H, W, C), jnp.float32)
+    assert p3.dw_v2_supported(x, g)
+    dw = p3._conv3x3_dw_v2(x, g)
+
+    def loss(wv):
+        return jnp.sum(p3._xla_conv(x, wv, None) * g)
+
+    dw_ref = jax.grad(loss)(w)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_bwd_mode3_gates_on_dw_v2_supported(monkeypatch):
+    """SGAN_TPU_CONV3_PALLAS_BWD=3 with a shape OUTSIDE the v2 dw gate must
+    fall back to the XLA dw (not crash / miscompute) — the gate failure mode
+    a lowered SGAN_TPU_CONV3_MIN_PIXELS exposes."""
+    monkeypatch.setattr(p3, '_PALLAS_BWD', '3')
+    H, W, C = 16, 32, 64          # h*w < 128*128: dw_v2_supported is False
+    x, w, b = _mk(H, W, C, seed=7)
+    g = jax.random.normal(jax.random.PRNGKey(13), (1, H, W, C))
+    assert not p3.dw_v2_supported(x, g)
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(f(x, w, b) * g)
+
+    gp = jax.grad(loss(p3.conv3x3_same), argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss(p3._xla_conv), argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)

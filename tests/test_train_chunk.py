@@ -97,3 +97,24 @@ def test_train_driver_chunked(tmp_path, monkeypatch):
     train_entry.main()
     assert (tmp_path / 'chunk_drv' / 'latest_net_G.pth').exists()
     assert (tmp_path / 'chunk_drv' / 'latest_state.pkl').exists()
+
+
+def test_partial_chunk_uses_per_step_fallback(tmp_path):
+    """A second chunk length must NOT compile a second scan program
+    (~10 min through the relay); it runs through the per-step program and
+    matches pure per-step training exactly."""
+    batches = _batches(5)
+    m_chunk = _build(tmp_path, 'chunk_mix')
+    m_chunk.train_chunk(batches[:3])      # compiles the k=3 scan
+    m_chunk.train_chunk(batches[3:])      # k=2: per-step fallback
+    assert list(m_chunk._multi_steps) == [3]
+
+    m_ref = _build(tmp_path, 'chunk_mix_ref')
+    for b in batches:
+        m_ref.set_input(b)
+        m_ref.optimize_parameters()
+
+    # fallback path is the SAME per-step program -> near-exact agreement
+    e1, e2 = m_chunk.get_current_errors(), m_ref.get_current_errors()
+    for k in e2:
+        np.testing.assert_allclose(e1[k], e2[k], rtol=2e-3, atol=2e-3)

@@ -58,7 +58,8 @@ def main():
                             or total_steps % opt.save_latest_freq == 0
                             or (opt.profile_dir
                                 and total_steps in (9 * opt.batchSize,
-                                                    19 * opt.batchSize))
+                                                    19 * opt.batchSize,
+                                                    20 * opt.batchSize))
                             or i + 1 == dataset_size // opt.batchSize)
                 if len(pending) >= spd or boundary:
                     model.train_chunk(pending)
