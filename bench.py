@@ -187,7 +187,7 @@ def main():
     torch_cpu = None
     try:
         with open(os.path.join(here, 'BASELINE_TORCH.json')) as f:
-            torch_cpu = float(json.load(f)['img_per_sec'])
+            torch_cpu = float(json.load(f)['images_per_sec'])
     except Exception:
         pass
 

@@ -93,6 +93,11 @@ class BaseModel:
         if self.mesh is not None:
             from ..parallel import shard_train_step
             return shard_train_step(step_fn, self.mesh, state_template)
+        from .packing import StatePacker, packing_enabled
+        if packing_enabled():
+            # fewer, larger argument leaves: the relay's dispatch cost
+            # scales with arg count (models/packing.py docstring)
+            return StatePacker(state_template).wrap(step_fn)
         return jax.jit(step_fn, donate_argnums=(0,))
 
     # ------------------------------------------------- multi-step scan -- #
@@ -156,6 +161,8 @@ class BaseModel:
             self._taps = taps
             self._after_chunk(taps)
             return
+        from .packing import materialize_state
+        self.state = materialize_state(self.state)   # scan carries the tree
         if k not in self._multi_steps:
             step_fn = self._raw_step_fn
 
@@ -256,7 +263,9 @@ class BaseModel:
         return pthio.load_pth(path, net)
 
     def save_full_state(self, state, epoch_label, extra=None):
-        payload = {'state': jax.device_get(state), 'extra': extra or {}}
+        from .packing import materialize_state
+        payload = {'state': jax.device_get(materialize_state(state)),
+                   'extra': extra or {}}
         self._ckpt_submit(pthio.save_state, os.path.join(
             self.save_dir, '%s_state.pkl' % epoch_label), payload)
 

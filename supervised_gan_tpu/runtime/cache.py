@@ -12,6 +12,15 @@ import os
 
 def enable_compilation_cache(cache_dir=None):
     import jax
+    # Optional platform pin (e.g. SGAN_TPU_PLATFORM=cpu to run a driver on
+    # the host while the chip is busy).  Must happen before the first
+    # backend init; this environment's sitecustomize force-registers the
+    # TPU backend programmatically, so the config update — not the
+    # JAX_PLATFORMS env var — is the only effective pin (tests/conftest.py
+    # does the same dance).
+    plat = os.environ.get('SGAN_TPU_PLATFORM')
+    if plat:
+        jax.config.update('jax_platforms', plat)
     path = cache_dir or os.environ.get(
         'SGAN_TPU_XLA_CACHE',
         os.path.join(os.path.expanduser('~'), '.cache', 'sgan_tpu_xla'))

@@ -1,0 +1,413 @@
+"""End-to-end downstream-quality artifact (QUALITY_r03.json).
+
+The reference's entire evaluation gate is segmentation quality after the
+generative pipeline (reference test_ss.py:46-51, segm_model.py:299-341):
+train DSGAN -> sample (label, image) pairs -> train a segmentation net on
+the GENERATED pairs -> evaluate RandScore / meanIU / CE on the held-out
+REAL set.  This tool runs that loop twice at identical reduced scale:
+
+  * ours: the real CLI drivers (train.py, test.py --save_as_single_image,
+    train_ss.py, test_ss.py) on a 128px synthetic VNC-style dataset;
+  * torch: the same geometry re-expressed with the reference-semantics
+    oracle modules from tests/ (reference models/twostage_cycle_model.py
+    :193-438 algebra), trained for the same number of steps, its samples
+    fed to the same segmentation protocol, evaluated with the SAME metric
+    code (supervised_gan_tpu.utils.metrics).
+
+Run:  python tools/quality_eval.py [--epochs_gan 30] [--epochs_ss 20]
+      [--samples 32] [--platform cpu|tpu] [--skip_torch]
+Writes QUALITY_r03.json at the repo root; intermediate state under
+/tmp/quality_r03/.
+"""
+
+import argparse
+import glob
+import json
+import os
+import random
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, 'tests'))
+
+WORK = '/tmp/quality_r03'
+REAL = os.path.join(WORK, 'real')
+GEN = os.path.join(WORK, 'gen')
+CKPT = os.path.join(WORK, 'ckpt')
+RESULTS = os.path.join(WORK, 'results')
+
+# 128px DSGAN geometry (reduced README recipe: fcgan G1 n3 -> 64px label
+# -> bilinear x2 -> CRN G2; unet F2; 1-scale D1/D2)
+GAN_NET_ARGS = [
+    '--model', 'twostage_cycle', '--which_direction', 'AtoB',
+    '--dataset_mode', 'single', '--loadSize', '128', '--fineSize', '128',
+    '--transform_1to2', 'bilinear_2', '--which_channel', 'rg_b',
+    '--which_model_netG1', 'fcgan', '--n_layers_G1', '3', '--ngf1', '8',
+    '--noiseSize1', '4', '--noise_nc1', '8',
+    '--which_model_netG2', 'crn', '--ngf2', '8',
+    '--upsample_mode2', 'bilinear', '--n_layers_CRN_block2', '2',
+    '--which_model_netF2', 'unet_128', '--nff2', '8',
+    '--noiseSize2', '2', '--noise_nc2', '8',
+    '--norm', 'instance', '--no_dropout1', '--manualSeed', '0',
+]
+GAN_TRAIN_ARGS = GAN_NET_ARGS + [
+    '--batchSize', '1',
+    '--which_model_netD1', 'n_layers', '--n_layers_D1', '2', '--ndf1', '8',
+    '--scale_factor1', '1', '--lambda_D1', '0.5',
+    '--which_model_netD2', 'n_layers', '--n_layers_D2', '2', '--ndf2', '8',
+    '--scale_factor2', '1', '--lambda_D2', '0.5',
+    '--lambda_A', '10', '--lambda_B', '10', '--lambda_A_cycle', '5',
+    '--lambda_fake_cycle', '1', '--no_lsgan1', '--no_lsgan2',
+    '--GAN_losses_D2', 'real_fake', '--GAN_losses_G2', 'real_fake',
+    '--n_update_G', '1', '--pool_size', '16', '--lr1', '0.0002',
+    '--lr2', '0.0002', '--print_freq', '64', '--display_id', '0',
+]
+SS_NET_ARGS = [
+    '--model', 'segmentation', '--which_direction', 'AtoB',
+    '--dataset_mode', 'single', '--loadSize', '128', '--fineSize', '128',
+    '--batchSize', '1', '--which_channel', 'b_rg',
+    '--which_model_netG', 'unet_128', '--ngf', '8', '--noise_nc', '4',
+    '--noiseSize', '4', '--norm', 'instance',
+    '--which_metric', 'RandScore', 'meanIU',
+    '--which_model_netD', 'None', '--manualSeed', '0', '--display_id', '0',
+]
+SS_TRAIN_ARGS = SS_NET_ARGS + [
+    '--lambda_A', '1', '--print_freq', '64',
+]
+
+
+def make_dataset(root, seed=0):
+    """128px VNC-style synthetic: R,G sparse binary label blobs, B image
+    correlated with the labels (so segmentation has signal to learn)."""
+    rng = np.random.RandomState(seed)
+    from PIL import Image
+    for phase, n in (('train', 8), ('val', 4), ('test', 8)):
+        d = os.path.join(root, phase)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            r = np.zeros((128, 128), np.float32)
+            for _ in range(6):                     # blobby foreground
+                cy, cx = rng.randint(10, 118, 2)
+                yy, xx = np.ogrid[:128, :128]
+                r += ((yy - cy) ** 2 + (xx - cx) ** 2
+                      < rng.randint(5, 14) ** 2).astype(np.float32)
+            r = (r > 0).astype(np.float32)
+            g = 1.0 - r
+            img = (0.7 * r + 0.15 * rng.rand(128, 128)
+                   + 0.1 * np.roll(r, 3, 0))
+            arr = np.stack([r, g, np.clip(img, 0, 1)], -1)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                os.path.join(d, '%03d.png' % i))
+
+
+def run(args, tag, platform):
+    env = dict(os.environ)
+    if platform != 'tpu':
+        env['SGAN_TPU_PLATFORM'] = platform
+    log = os.path.join(WORK, tag + '.log')
+    t0 = time.time()
+    with open(log, 'w') as f:
+        rc = subprocess.call([sys.executable] + args, cwd=ROOT, env=env,
+                             stdout=f, stderr=subprocess.STDOUT)
+    out = open(log).read()
+    print('[%s] rc=%d  %.0fs  (%s)' % (tag, rc, time.time() - t0, log),
+          flush=True)
+    if rc != 0:
+        print(out[-3000:])
+        raise RuntimeError('%s failed' % tag)
+    return out
+
+
+def parse_ss_metrics(out):
+    m = {}
+    for k in ('RandScore', 'meanIU'):
+        hit = re.search(r'%s: ([0-9.eE+-]+)' % k, out)
+        if hit:
+            m[k] = float(hit.group(1))
+    hit = re.search(r'cross entropy loss: mean ([0-9.eE+-]+), '
+                    r'std ([0-9.eE+-]+)', out)
+    if hit:
+        m['CE_mean'] = float(hit.group(1))
+        m['CE_std'] = float(hit.group(2))
+    return m
+
+
+def jax_pipeline(epochs_gan, epochs_ss, samples, platform):
+    name = 'q3_gan'
+    run(['train.py', '--dataroot', REAL, '--name', name,
+         '--checkpoints_dir', CKPT, '--niter', str(epochs_gan),
+         '--niter_decay', str(epochs_gan),
+         '--save_epoch_freq', str(2 * epochs_gan)] + GAN_TRAIN_ARGS,
+        'jax_gan_train', platform)
+    run(['test.py', '--dataroot', REAL, '--name', name,
+         '--checkpoints_dir', CKPT, '--results_dir', RESULTS,
+         '--how_many', str(samples), '--save_as_single_image']
+        + GAN_NET_ARGS, 'jax_gan_sample', platform)
+
+    # generated pairs -> train split; real val images -> val split
+    os.makedirs(os.path.join(GEN, 'train'), exist_ok=True)
+    imgs = sorted(glob.glob(os.path.join(
+        RESULTS, name, 'test_latest', 'images', '*AB*.png')))
+    assert imgs, 'no generated AB images found'
+    for p in imgs:
+        shutil.copy(p, os.path.join(GEN, 'train', os.path.basename(p)))
+    if not os.path.isdir(os.path.join(GEN, 'val')):
+        shutil.copytree(os.path.join(REAL, 'val'), os.path.join(GEN, 'val'))
+
+    ss = 'q3_ss'
+    run(['train_ss.py', '--dataroot', GEN, '--name', ss,
+         '--checkpoints_dir', CKPT, '--niter', str(epochs_ss),
+         '--niter_decay', str(epochs_ss),
+         '--save_epoch_freq', str(2 * epochs_ss)] + SS_TRAIN_ARGS,
+        'jax_ss_train', platform)
+    out = run(['test_ss.py', '--dataroot', REAL, '--name', ss,
+               '--checkpoints_dir', CKPT, '--results_dir', RESULTS,
+               '--how_many', '999', '--which_epoch', 'latest',
+               '--phase', 'test'] + SS_NET_ARGS,
+              'jax_ss_test', platform)
+
+    # upper bound: the same segmentation protocol trained on the REAL
+    # train split (what a perfect generator would enable)
+    ub = 'q3_ss_ub'
+    run(['train_ss.py', '--dataroot', REAL, '--name', ub,
+         '--checkpoints_dir', CKPT, '--niter', str(epochs_ss),
+         '--niter_decay', str(epochs_ss),
+         '--save_epoch_freq', str(2 * epochs_ss)] + SS_TRAIN_ARGS,
+        'jax_ss_ub_train', platform)
+    out_ub = run(['test_ss.py', '--dataroot', REAL, '--name', ub,
+                  '--checkpoints_dir', CKPT, '--results_dir', RESULTS,
+                  '--how_many', '999', '--which_epoch', 'latest',
+                  '--phase', 'test'] + SS_NET_ARGS,
+                 'jax_ss_ub_test', platform)
+    return parse_ss_metrics(out), parse_ss_metrics(out_ub), len(imgs)
+
+
+# ------------------------------------------------------------------ torch --
+def load_real(phase):
+    from PIL import Image
+    out = []
+    for p in sorted(glob.glob(os.path.join(REAL, phase, '*.png'))):
+        a = np.asarray(Image.open(p), np.float32) / 255.0 * 2 - 1
+        out.append(a)
+    return np.stack(out)          # (N,128,128,3) in [-1,1]
+
+
+def torch_pipeline(epochs_gan, epochs_ss, samples):
+    """Reference-semantics torch mirror at the same geometry/step count."""
+    import torch
+    import torch.nn.functional as F
+    from test_parity_dsgan import TorchCRN, TorchUnet
+    from test_pth import torch_fcgan
+    from baseline_torch import ScaledD, Pool, bce
+    from supervised_gan_tpu.utils.metrics import compute_rand_f_scores
+
+    torch.manual_seed(0)
+    random.seed(0)
+    np.random.seed(0)
+
+    G1 = torch_fcgan(8, 2, 8, 3, True)
+    G2 = TorchCRN(2, 1, 8, 8, 2)
+    F2 = TorchUnet(1, 2, 7, 8)
+    D1 = torch.nn.ModuleList([ScaledD(2, 8, 2, 1)])
+    D2 = torch.nn.ModuleList([ScaledD(3, 8, 2, 1)])
+    g_params = (list(G1.parameters()) + list(G2.parameters())
+                + list(F2.parameters()))
+    optG = torch.optim.Adam(g_params, lr=2e-4, betas=(0.5, 0.999))
+    optD1 = torch.optim.Adam(D1.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    optD2 = torch.optim.Adam(D2.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    pool1, pool2 = Pool(16), Pool(16)
+    lam_A, lam_B, lam_cyc, lam_fcyc = 10.0, 10.0, 5.0, 1.0
+
+    def transform(x):
+        return F.interpolate(x, scale_factor=2, mode='bilinear',
+                             align_corners=True)
+
+    train_imgs = load_real('train')
+    total = 2 * epochs_gan * len(train_imgs)
+    done = 0
+    for epoch in range(2 * epochs_gan):
+        # linear decay over the second half (reference base_model lr rule)
+        if epoch >= epochs_gan:
+            lr = 2e-4 * (1 - (epoch - epochs_gan) / float(epochs_gan))
+            for o in (optG, optD1, optD2):
+                for grp in o.param_groups:
+                    grp['lr'] = lr
+        for i in np.random.permutation(len(train_imgs)):
+            a = train_imgs[i]
+            if random.random() < 0.5:
+                a = a[:, ::-1]
+            t = torch.from_numpy(np.ascontiguousarray(
+                np.transpose(a, (2, 0, 1))))[None]
+            real_A, real_B = t[:, :2], t[:, 2:]
+            z1 = torch.randn(1, 8, 4, 4)
+            z2 = torch.randn(1, 8, 2, 2)
+            fake_A = torch.tanh(G1.model(z1))              # 64px label
+            fake_A_up = transform(fake_A)                  # 128px
+            fake_B_real = G2(real_A, z2)
+            fake_B_fake = G2(fake_A_up, z2)
+            fake_A_from_B = F2(real_B)
+            recon_real_A = F2(fake_B_real)
+            recon_fake_A = F2(fake_B_fake)
+
+            optD1.zero_grad()
+            d1_real_in = F.avg_pool2d(real_A, 2)
+            d1_fake = pool1.query(fake_A.detach())
+            loss_D1 = 0.5 * sum(bce(d(d1_fake), False)
+                                + bce(d(d1_real_in), True) for d in D1)
+            loss_D1.backward()
+            optD1.step()
+
+            optD2.zero_grad()
+            pair_real = torch.cat([real_A, real_B], 1)
+            pair_fake = pool2.query(
+                torch.cat([real_A, fake_B_real], 1).detach())
+            loss_D2 = 0.5 * sum(bce(d(pair_fake), False)
+                                + bce(d(pair_real), True) for d in D2)
+            loss_D2.backward()
+            optD2.step()
+
+            optG.zero_grad()
+            g1 = sum(0.5 * bce(d(fake_A), True) for d in D1)
+            pair = torch.cat([real_A, fake_B_real], 1)
+            g2 = sum(0.5 * bce(d(pair), True) for d in D2)
+            l1 = lam_A * torch.mean(torch.abs(fake_B_real - real_B))
+            ce = lam_B * F.binary_cross_entropy(
+                torch.clamp((fake_A_from_B + 1) / 2, 0, 1),
+                torch.clamp((real_A + 1) / 2, 0, 1))
+            cyc_r = lam_cyc * F.binary_cross_entropy(
+                torch.clamp((recon_real_A + 1) / 2, 0, 1),
+                torch.clamp((real_A + 1) / 2, 0, 1))
+            cyc_f = lam_cyc * lam_fcyc * F.binary_cross_entropy(
+                torch.clamp((recon_fake_A + 1) / 2, 0, 1),
+                torch.clamp((fake_A_up.detach() + 1) / 2, 0, 1))
+            (g1 + g2 + l1 + ce + cyc_r + cyc_f).backward()
+            optG.step()
+            done += 1
+        if (epoch + 1) % 10 == 0:
+            print('[torch_gan] epoch %d/%d' % (epoch + 1, 2 * epochs_gan),
+                  flush=True)
+
+    # sample generated pairs
+    gen = []
+    with torch.no_grad():
+        for _ in range(samples):
+            z1 = torch.randn(1, 8, 4, 4)
+            z2 = torch.randn(1, 8, 2, 2)
+            lab = transform(torch.tanh(G1.model(z1)))
+            img = G2(lab, z2)
+            ab = torch.cat([lab, img], 1)[0].numpy()       # (3,128,128)
+            gen.append(np.transpose(ab, (1, 2, 0)))
+
+    # segmentation on generated pairs (image -> 2-class labels, CE)
+    torch.manual_seed(0)
+    S = TorchUnet(1, 2, 7, 8)
+    optS = torch.optim.Adam(S.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    for epoch in range(2 * epochs_ss):
+        if epoch >= epochs_ss:
+            lr = 2e-4 * (1 - (epoch - epochs_ss) / float(epochs_ss))
+            for grp in optS.param_groups:
+                grp['lr'] = lr
+        for i in np.random.permutation(len(gen)):
+            a = gen[i]
+            if random.random() < 0.5:
+                a = a[:, ::-1]
+            t = torch.from_numpy(np.ascontiguousarray(
+                np.transpose(a, (2, 0, 1))))[None]
+            img, labch = t[:, 2:], t[:, :2]
+            label = ((labch + 1) / 2).argmax(1)            # (1,H,W)
+            logits = S.model(img)
+            loss = F.cross_entropy(logits, label)
+            optS.zero_grad()
+            loss.backward()
+            optS.step()
+
+    # evaluate on the REAL test set with the same metric code
+    test_imgs = load_real('test')
+    conf = np.zeros((2, 2), np.int64)
+    rand_scores, ces = [], []
+    with torch.no_grad():
+        for a in test_imgs:
+            t = torch.from_numpy(np.ascontiguousarray(
+                np.transpose(a, (2, 0, 1))))[None]
+            img, labch = t[:, 2:], t[:, :2]
+            label = ((labch + 1) / 2).argmax(1)
+            logits = S.model(img)
+            prob = torch.softmax(logits, 1)
+            ces.append(float(F.cross_entropy(logits, label)))
+            Tm = ((labch + 1) / 2).numpy()[:, :1]
+            Sm = prob.numpy()[:, :1]
+            rand_scores.append(
+                float(compute_rand_f_scores(Sm, Tm, do_thin=False).mean()))
+            pred = prob.argmax(1).numpy().ravel()
+            lab = label.numpy().ravel()
+            conf += np.bincount(lab * 2 + pred, minlength=4).reshape(2, 2)
+    rel, sel, tp = conf.sum(1), conf.sum(0), np.diag(conf)
+    return {
+        'RandScore': float(np.mean(rand_scores)),
+        'meanIU': float(np.mean(tp / np.maximum(1, rel + sel - tp))),
+        'CE_mean': float(np.mean(ces)),
+        'CE_std': float(np.std(ces)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--epochs_gan', type=int, default=30)
+    ap.add_argument('--epochs_ss', type=int, default=20)
+    ap.add_argument('--samples', type=int, default=32)
+    ap.add_argument('--platform', default='cpu')
+    ap.add_argument('--skip_torch', action='store_true')
+    args = ap.parse_args()
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK, exist_ok=True)
+    make_dataset(REAL)
+
+    t0 = time.time()
+    ours, upper, n_gen = jax_pipeline(args.epochs_gan, args.epochs_ss,
+                                      args.samples, args.platform)
+    t_ours = time.time() - t0
+    print('ours:', ours, flush=True)
+    print('upper bound (real pairs):', upper, flush=True)
+
+    theirs = None
+    t_torch = None
+    if not args.skip_torch:
+        t0 = time.time()
+        theirs = torch_pipeline(args.epochs_gan, args.epochs_ss,
+                                args.samples)
+        t_torch = time.time() - t0
+        print('torch:', theirs, flush=True)
+
+    out = {
+        'pipeline': 'train DSGAN -> test.py sample -> train_ss on generated '
+                    'pairs -> test_ss on real held-out set '
+                    '(reference test_ss.py:46-51 gate)',
+        'scale': {'px': 128, 'epochs_gan': 2 * args.epochs_gan,
+                  'epochs_ss': 2 * args.epochs_ss,
+                  'train_images': 8, 'generated_pairs': n_gen,
+                  'test_images': 8},
+        'ours': ours,
+        'torch_reference_semantics': theirs,
+        'real_pairs_upper_bound': upper,
+        'ours_platform': args.platform,
+        'ours_wall_sec': round(t_ours, 1),
+        'torch_wall_sec': round(t_torch, 1) if t_torch else None,
+        'note': 'metrics computed by the same code '
+                '(supervised_gan_tpu/utils/metrics.py) on both sides; '
+                'higher RandScore/meanIU better, lower CE better',
+    }
+    with open(os.path.join(ROOT, 'QUALITY_r03.json'), 'w') as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()
