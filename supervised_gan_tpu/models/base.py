@@ -161,20 +161,35 @@ class BaseModel:
             self._taps = taps
             self._after_chunk(taps)
             return
-        from .packing import materialize_state
-        self.state = materialize_state(self.state)   # scan carries the tree
+        from .packing import PackedState, materialize_state
+        packer = getattr(self._train_step, 'packer', None)
         if k not in self._multi_steps:
             step_fn = self._raw_step_fn
 
-            def multi(state, sins, master_key, ns, lrs):
-                def body(st, xs):
-                    inp, n = xs
-                    key = jax.random.fold_in(master_key, n)
-                    st, metrics, taps = step_fn(st, inp, key, lrs)
-                    return st, (metrics, taps)
-                state, ys = jax.lax.scan(body, state, (sins, ns))
-                last = jax.tree_util.tree_map(lambda a: a[-1], ys)
-                return state, last[0], last[1]
+            if packer is not None:
+                # scan with the PACKED state as carry: the round-2 scan
+                # penalty was the ~600-leaf carry through the while loop;
+                # the packed carry is ~46 buffers (BENCH_NOTES.md round 3)
+                def multi(packed, sins, master_key, ns, lrs):
+                    def body(pk, xs):
+                        inp, n = xs
+                        key = jax.random.fold_in(master_key, n)
+                        st, metrics, taps = step_fn(
+                            packer.unpack(pk), inp, key, lrs)
+                        return packer.pack(st), (metrics, taps)
+                    packed, ys = jax.lax.scan(body, packed, (sins, ns))
+                    last = jax.tree_util.tree_map(lambda a: a[-1], ys)
+                    return packed, last[0], last[1]
+            else:
+                def multi(state, sins, master_key, ns, lrs):
+                    def body(st, xs):
+                        inp, n = xs
+                        key = jax.random.fold_in(master_key, n)
+                        st, metrics, taps = step_fn(st, inp, key, lrs)
+                        return st, (metrics, taps)
+                    state, ys = jax.lax.scan(body, state, (sins, ns))
+                    last = jax.tree_util.tree_map(lambda a: a[-1], ys)
+                    return state, last[0], last[1]
 
             self._multi_steps[k] = jax.jit(multi, donate_argnums=(0,))
         import numpy as _np
@@ -182,8 +197,17 @@ class BaseModel:
             [2 * (self._step_count + 1 + i) + 1 for i in range(k)],
             _np.uint32)
         self._step_count += k
-        self.state, self._metrics, taps = self._multi_steps[k](
-            self.state, stacked, self.master_key, ns, self._step_lrs())
+        if packer is not None:
+            if isinstance(self.state, PackedState):
+                packed = self.state.packed
+            else:
+                packed = packer._pack_jit(materialize_state(self.state))
+            packed, self._metrics, taps = self._multi_steps[k](
+                packed, stacked, self.master_key, ns, self._step_lrs())
+            self.state = PackedState(packer, packed)
+        else:
+            self.state, self._metrics, taps = self._multi_steps[k](
+                self.state, stacked, self.master_key, ns, self._step_lrs())
         self._taps = taps
         self._after_chunk(taps)
 
@@ -277,8 +301,14 @@ class BaseModel:
         return None
 
     # ------------------------------------------------------------ misc -- #
-    def get_image_paths(self):
-        return self.image_paths
+    def _fetch_metrics(self):
+        """One aggregated device->host transfer for the whole metrics dict.
+        Through the relay a value fetch costs ~25-30 ms ROUND TRIP, so the
+        former per-metric float(v) pattern paid it once per metric — ~5
+        ms/step amortized into every print/bench window (round-3 find)."""
+        from collections import OrderedDict
+        host = jax.device_get(dict(self._metrics))
+        return OrderedDict((k, float(host[k])) for k in self._metrics)
 
     def set_input(self, input):
         self.input = input

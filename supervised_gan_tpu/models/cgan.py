@@ -154,7 +154,7 @@ class CGANModel(TwoGroupModel):
         print('Random check: {}'.format(float(self.noise[0, 0, 0, 0])))
 
     def get_current_errors(self):
-        return OrderedDict((k, float(v)) for k, v in self._metrics.items())
+        return self._fetch_metrics()
 
     def get_current_visuals(self, save_as_single_image=False):
         if self.isTrain:

@@ -185,7 +185,7 @@ class CGAN2Model(TwoGroupModel):
         print('Random check: {}'.format(float(self.noise[0, 0, 0, 0])))
 
     def get_current_errors(self):
-        return OrderedDict((k, float(v)) for k, v in self._metrics.items())
+        return self._fetch_metrics()
 
     def get_current_visuals(self, save_as_single_image=False):
         if self.isTrain:

@@ -221,7 +221,7 @@ class CGANCausalModel(TwoGroupModel):
             float(self.noise1[0, 0, 0, 0]), float(self.noise2[0, 0, 0, 0])))
 
     def get_current_errors(self):
-        return OrderedDict((k, float(v)) for k, v in self._metrics.items())
+        return self._fetch_metrics()
 
     def get_current_visuals(self, save_as_single_image=False):
         if self.isTrain:

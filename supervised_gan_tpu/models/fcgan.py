@@ -289,7 +289,7 @@ class FCGANModel(BaseModel):
 
     # ------------------------------------------------------------------- #
     def get_current_errors(self):
-        return OrderedDict((k, float(v)) for k, v in self._metrics.items())
+        return self._fetch_metrics()
 
     def get_current_visuals(self, save_real=False, save_as_single_image=True):
         two = len(self.visual_groups) == 2

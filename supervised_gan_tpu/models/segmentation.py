@@ -327,7 +327,7 @@ class SegmentationModel(SegAccumulatorMixin, BaseModel):
         self._metrics = OrderedDict([('G_CE', ce)])
 
     def get_current_errors(self):
-        return OrderedDict((k, float(v)) for k, v in self._metrics.items())
+        return self._fetch_metrics()
 
     def get_current_visuals(self):
         return OrderedDict([

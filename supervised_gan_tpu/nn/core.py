@@ -115,6 +115,34 @@ class Sequential(Layer):
         n = len(self.layers)
         while i < n:
             layer = self.layers[i]
+            if PALLAS_ENABLED and isinstance(layer, Conv2d) \
+                    and layer.kernel == 3 and layer.stride == 1 \
+                    and layer.padding == 1 and i + 1 < n \
+                    and isinstance(self.layers[i + 1], InstanceNorm2d):
+                # fused conv3x3 + IN (+act) region: the IN statistics ride
+                # the conv kernel's accumulator (ops/pallas/conv3x3_in.py)
+                from ..ops.pallas import conv3x3 as p3
+                if p3._INTERPRET or jax.default_backend() == 'tpu':
+                    w = params[str(i)]["weight"]
+                    b = params[str(i)].get("bias")
+                    xc = x
+                    if ctx.compute_dtype is not None:
+                        xc = x.astype(ctx.compute_dtype)
+                        w = w.astype(ctx.compute_dtype)
+                    from ..ops.pallas import conv3x3_in as p3in
+                    if p3in.supported(xc, w, 1, 1):
+                        slope = None
+                        skip = 2
+                        if i + 2 < n and isinstance(self.layers[i + 2],
+                                                    (LeakyReLU, ReLU)):
+                            nxt = self.layers[i + 2]
+                            slope = (nxt.slope
+                                     if isinstance(nxt, LeakyReLU) else 0.0)
+                            skip = 3
+                        x = p3in.conv3x3_in_act(
+                            xc, w, b, self.layers[i + 1].eps, slope)
+                        i += skip
+                        continue
             if PALLAS_ENABLED and isinstance(layer, InstanceNorm2d) \
                     and i + 1 < n \
                     and isinstance(self.layers[i + 1], (LeakyReLU, ReLU)):

@@ -449,13 +449,18 @@ def _head_convt_fwd(x, w, b, stride, padding):
         x.reshape(n * h * wd, ci), wm.astype(x.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    t = t.reshape(n, h, wd, k * k * co)
+    # cast BEFORE the pad/tap sums: the 4-tap channel-sliced reads of t
+    # are lane-starved loop fusions (profiled 11 GB/s, 3 x 0.57 ms/step on
+    # the DSGAN bench) and f32 doubles their traffic; the later interleave
+    # transpose is a real relayout with the same 2x (round-2 note).  A
+    # k*k-term bf16 sum costs ~2 ulp on data already quantized to bf16.
+    t = t.reshape(n, h, wd, k * k * co).astype(x.dtype)
     t = jnp.pad(t, ((0, 0), (pl, pr), (pl, pr), (0, 0)))
     phases = []
     for q in range(s):
         row = []
         for r in range(s):
-            acc = jnp.zeros((n, O, OW, co), jnp.float32)
+            acc = jnp.zeros((n, O, OW, co), x.dtype)
             for ky, dy in taps[q]:
                 for kx, dx_ in taps[r]:
                     j = ky * k + kx
@@ -463,10 +468,8 @@ def _head_convt_fwd(x, w, b, stride, padding):
                                   pl + dx_:pl + dx_ + OW,
                                   j * co:(j + 1) * co]
             if b is not None:
-                acc = acc + b.astype(jnp.float32)
-            # cast BEFORE the interleave: the transpose below is a real
-            # relayout and f32 doubles its traffic (profiled 1.1 ms/step)
-            row.append(acc.astype(x.dtype))
+                acc = acc + b.astype(acc.dtype)
+            row.append(acc)
         phases.append(row)
     y = jnp.stack([jnp.stack(row) for row in phases])    # (s, s, n, O, OW, co)
     return y.transpose(2, 3, 0, 4, 1, 5).reshape(n, s * O, s * OW, co)

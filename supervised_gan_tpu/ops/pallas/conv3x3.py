@@ -441,6 +441,33 @@ def _conv3x3_dw_v2(x, g):
     return _unband_dw(dB, P, C).astype(x.dtype)
 
 
+def _dw_9dot(x, g):
+    """Weight gradient as nine K-major MXU dots.
+
+    XLA's own dw for a 512^2 c64 3x3 conv lowers to a 3.4%-of-peak fusion
+    (1.87 ms isolated, the two largest ops of the round-3 DSGAN device
+    profile); contracting each tap's shifted input slice against the
+    cotangent as an explicit (HW, C) x (HW, Co) dot runs 0.34 ms — 5.5x —
+    with no Mosaic involvement, so the dx conv keeps its XLA fusions
+    (the round-2 split-backward penalty does not apply; BENCH_NOTES.md
+    round 3)."""
+    n, h, w_, c = x.shape
+    co = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    g2 = g.reshape(-1, co)
+    outs = []
+    for ky in range(3):
+        for kx in range(3):
+            xs = lax.slice(xp, (0, ky, kx, 0), (n, ky + h, kx + w_, c))
+            outs.append(lax.dot_general(
+                xs.reshape(-1, c), g2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    return jnp.stack(outs).reshape(3, 3, c, co)
+
+
+_DW_MODE = _os.environ.get('SGAN_TPU_CONV3_DW', '9dot')
+
+
 def _xla_conv(x, w, b):
     y = lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
@@ -482,8 +509,13 @@ def _vjp_bwd(res, g):
             # lowered below the kernel's packing rules): XLA dw.
             _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None), w)
             (dw,) = pb(g)
+    elif _DW_MODE == '9dot':
+        # XLA dx conv (keeps its fusions) + nine-dot dw
+        w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dx = _xla_conv(g, w_flip, None)
+        dw = _dw_9dot(x, g).astype(w.dtype)
     else:
-        # joint XLA conv grads
+        # joint XLA conv grads (SGAN_TPU_CONV3_DW=joint)
         _, pullback = jax.vjp(lambda xv, wv: _xla_conv(xv, wv, None), x, w)
         dx, dw = pullback(g)
     db = jnp.sum(g, axis=(0, 1, 2)) if has_b else None

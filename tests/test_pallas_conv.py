@@ -199,3 +199,65 @@ def test_bwd_mode3_gates_on_dw_v2_supported(monkeypatch):
     for a, r in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------- fused conv3x3+IN+act --
+from supervised_gan_tpu.ops.pallas import conv3x3_in as p3in
+from supervised_gan_tpu.ops.norm import instance_norm
+
+
+def _ref_region(x, w, b, eps, slope):
+    y = p3._xla_conv(x, w, b)
+    y = instance_norm(y, eps)
+    if slope is not None:
+        y = jnp.where(y >= 0, y, y * slope)
+    return y
+
+
+@pytest.mark.parametrize("slope", [None, 0.0, 0.2])
+def test_conv3x3_in_act_forward(slope):
+    x, w, b = _mk(16, 32, 64, seed=11)
+    y = p3in.conv3x3_in_act(x, w, b, 1e-5, slope)
+    yr = _ref_region(x, w, b, 1e-5, slope)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv3x3_in_act_vjp():
+    x, w, b = _mk(16, 32, 64, seed=12)
+    g = jax.random.normal(jax.random.PRNGKey(21), x.shape)
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(f(x, w, b) * g)
+
+    fused = lambda x, w, b: p3in.conv3x3_in_act(x, w, b, 1e-5, 0.2)
+    ref = lambda x, w, b: _ref_region(x, w, b, 1e-5, 0.2)
+    gp = jax.grad(loss(fused), argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss(ref), argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_sequential_peephole_conv_in_act():
+    """[Conv2d(3x3), InstanceNorm2d, LeakyReLU] through Sequential must hit
+    the fused region and agree with the unfused path."""
+    seq = core.Sequential(core.Conv2d(64, 64, 3, 1, 1),
+                          core.InstanceNorm2d(64),
+                          core.LeakyReLU(0.2))
+    params = seq.init(jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 32, 64))
+    ctx = core.Ctx(train=False)
+    old = core.PALLAS_ENABLED
+    core.set_pallas_enabled(False)
+    try:
+        y_ref = seq.apply(params, x, ctx)
+    finally:
+        core.set_pallas_enabled(old)
+    core.set_pallas_enabled(True)
+    try:
+        y_fused = seq.apply(params, x, ctx)
+    finally:
+        core.set_pallas_enabled(old)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
