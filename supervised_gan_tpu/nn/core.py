@@ -274,6 +274,11 @@ class InstanceNorm2d(Layer):
         self.eps = eps
 
     def apply(self, params, x, ctx):
+        if PALLAS_ENABLED:
+            # the fused op with slope=None: one-pass statistics + a custom
+            # VJP whose residuals skip the backward stats recompute
+            from ..ops.pallas import fused_instance_norm_act
+            return fused_instance_norm_act(x, self.eps, None)
         return instance_norm(x, self.eps)
 
 

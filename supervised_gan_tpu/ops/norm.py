@@ -24,8 +24,12 @@ def instance_norm(x, eps=1e-5):
     """x: (N,H,W,C) -> per-(N,C) spatially normalized, no affine.
     Statistics in float32; output keeps x's dtype (bf16 stays bf16)."""
     x32 = x.astype(jnp.float32)
+    # one-pass statistics: mean and E[x^2] are sibling reductions of the
+    # same operand, so XLA reads x ONCE (vs twice for E[(x-mean)^2]);
+    # f32 accumulation keeps the cancellation error below bf16 data noise
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    msq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(msq - mean * mean, 0.0)
     return ((x32 - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
@@ -33,7 +37,8 @@ def batch_norm(x, weight, bias, eps=1e-5):
     """x: (N,H,W,C), weight/bias: (C,). Batch statistics (train-mode)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2), keepdims=True)
+    msq = jnp.mean(jnp.square(x32), axis=(0, 1, 2), keepdims=True)
+    var = jnp.maximum(msq - mean * mean, 0.0)
     y = (x32 - mean) * lax.rsqrt(var + eps)
     y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(x.dtype)

@@ -60,8 +60,10 @@ def _kernel(x_ref, o_ref, *, eps, slope):
 
 def _xla_fallback(x, eps, slope):
     x32 = x.astype(jnp.float32)
+    # one-pass statistics (sibling reductions; see ops/norm.py)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    msq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(msq - mean * mean, 0.0)
     y = (x32 - mean) * lax.rsqrt(var + eps)
     if slope is not None:
         y = jnp.where(y >= 0, y, y * slope)
@@ -89,14 +91,22 @@ def fused_instance_norm_act(x, eps=1e-5, slope=None):
 
 
 def _fwd(x, eps, slope):
-    return _forward(x, eps, slope), x
-
-
-def _bwd(eps, slope, x, g):
+    # residuals carry the (tiny) per-channel stats so the backward skips
+    # the full statistics pass over x (one read instead of two)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    msq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(msq - mean * mean, 0.0)
     inv = lax.rsqrt(var + eps)
+    y = (x32 - mean) * inv
+    if slope is not None:
+        y = jnp.where(y >= 0, y, y * slope)
+    return y.astype(x.dtype), (x, mean, inv)
+
+
+def _bwd(eps, slope, res, g):
+    x, mean, inv = res
+    x32 = x.astype(jnp.float32)
     xhat = (x32 - mean) * inv
     g32 = g.astype(jnp.float32)
     if slope is not None:
