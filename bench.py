@@ -255,6 +255,8 @@ def main():
             'conv3_pallas_bwd': os.environ.get('SGAN_TPU_CONV3_PALLAS_BWD',
                                                '0'),
             'conv4s2': os.environ.get('SGAN_TPU_CONV4S2', '0'),
+            'conv3_in_fused': os.environ.get('SGAN_TPU_CONV3_IN', '0'),
+            'pack_state': os.environ.get('SGAN_TPU_PACK_STATE', '1'),
         },
     }
     if torch_cpu:

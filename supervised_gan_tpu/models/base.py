@@ -32,10 +32,105 @@ def parse_which_channel(spec):
     return [[idx[c] for c in group] for group in spec.split('_')]
 
 
+_FLAT_ADAM_THRESHOLD = 4 * 1024 * 1024
+
+
+def _flat_adam_enabled():
+    return os.environ.get('SGAN_TPU_FLAT_ADAM', '1') != '0'
+
+
+def _pack_small_leaves(tree, threshold=_FLAT_ADAM_THRESHOLD):
+    """tree -> {'flat': {dtype_name: 1-D vec}, 'big': {str(i): leaf}}.
+
+    Deterministic tree_flatten order; leaves under the byte threshold are
+    raveled and concatenated per dtype, larger leaves pass through.  The
+    packed form exists so elementwise optimizer math runs as a handful of
+    full-bandwidth vector ops instead of one tiny fusion per parameter
+    (the DSGAN step spent ~2.5 ms/step in sub-20us optimizer/packing ops;
+    BENCH_NOTES.md round 3)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    bydt, big = {}, {}
+    for i, l in enumerate(leaves):
+        if l.size * jnp.dtype(l.dtype).itemsize < threshold:
+            bydt.setdefault(jnp.dtype(l.dtype).name, []).append(jnp.ravel(l))
+        else:
+            big[str(i)] = l
+    flat = {dt: (jnp.concatenate(v) if len(v) > 1 else v[0])
+            for dt, v in bydt.items()}
+    return {'flat': flat, 'big': big}
+
+
+def _unpack_small_leaves(packed, like, threshold=_FLAT_ADAM_THRESHOLD):
+    """Inverse of _pack_small_leaves against the template ``like``."""
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    offs = {}
+    out = []
+    for i, l in enumerate(leaves):
+        if l.size * jnp.dtype(l.dtype).itemsize < threshold:
+            dt = jnp.dtype(l.dtype).name
+            off = offs.get(dt, 0)
+            out.append(jax.lax.slice(packed['flat'][dt], (off,),
+                                     (off + l.size,)).reshape(l.shape))
+            offs[dt] = off + l.size
+        else:
+            out.append(packed['big'][str(i)])
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class FlatAdam:
+    """optax.scale_by_adam over flat per-dtype buffers — bit-exact.
+
+    Adam is elementwise, so running the moment updates on the
+    concatenation of all (small) parameter leaves computes exactly the
+    per-leaf result while replacing ~3 tiny XLA ops per parameter tensor
+    with ~3 vector ops per dtype.  Moments are STORED flat (they are never
+    consumed per-leaf), so the jit-boundary packer also sees 2 big buffers
+    instead of ~800 small mu/nu leaves.  Large leaves keep per-leaf
+    moments.  Delegates the actual math to optax.scale_by_adam applied to
+    the packed tree, so the formulas (bias correction, eps placement,
+    safe count increment) are optax's own."""
+
+    def __init__(self, beta1):
+        self._tx = optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
+
+    def init(self, params):
+        return self._tx.init(_pack_small_leaves(params))
+
+    def update(self, grads, state, params=None):
+        fu, state = self._tx.update(_pack_small_leaves(grads), state, None)
+        return _unpack_small_leaves(fu, grads), state
+
+
 def adam_transform(beta1):
     """scale_by_adam; the step's learning rate is applied inside the train
-    step from a traced scalar, so per-epoch lr decay never recompiles."""
+    step from a traced scalar, so per-epoch lr decay never recompiles.
+    Flat-buffer form by default (SGAN_TPU_FLAT_ADAM=0 for per-leaf optax);
+    both compute bit-identical updates."""
+    if _flat_adam_enabled():
+        return FlatAdam(beta1)
     return optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
+
+
+def _is_flat_moments(tree):
+    return isinstance(tree, dict) and set(tree) == {'flat', 'big'}
+
+
+def _migrate_opt_entry(entry):
+    """Convert a checkpointed optimizer entry between the per-leaf and
+    flat-moment representations to match the active adam_transform form
+    (checkpoints written before/after the FlatAdam switch stay loadable)."""
+    mu = getattr(entry, 'mu', None)
+    if mu is None:
+        return entry
+    if _flat_adam_enabled() and not _is_flat_moments(mu):
+        return entry._replace(mu=_pack_small_leaves(mu),
+                              nu=_pack_small_leaves(entry.nu))
+    if not _flat_adam_enabled() and _is_flat_moments(mu):
+        raise ValueError(
+            'checkpoint holds flat Adam moments; unset SGAN_TPU_FLAT_ADAM=0 '
+            'to resume from it (the flat->per-leaf direction needs the '
+            'parameter shapes and is not reconstructed here)')
+    return entry
 
 
 def apply_adam(tx, grads, opt_state, params, lr):
@@ -297,7 +392,12 @@ class BaseModel:
         self.flush_checkpoints()
         path = os.path.join(self.save_dir, '%s_state.pkl' % epoch_label)
         if os.path.exists(path):
-            return pthio.load_state(path)
+            payload = pthio.load_state(path)
+            opt_tree = (payload or {}).get('state', {}).get('opt')
+            if isinstance(opt_tree, dict):
+                payload['state']['opt'] = {
+                    k: _migrate_opt_entry(v) for k, v in opt_tree.items()}
+            return payload
         return None
 
     # ------------------------------------------------------------ misc -- #

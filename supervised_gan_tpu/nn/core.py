@@ -85,6 +85,14 @@ class Layer:
 # Pallas kernel dispatch: set from --no_pallas / platform at model init.
 PALLAS_ENABLED = False
 
+# A/B gate for the fused conv3x3+IN(+act) region (ops/pallas/conv3x3_in.py).
+# Default OFF: the measured end-to-end A/B is a small NEGATIVE — device
+# step 42.19 ms fused vs 41.73 split (23.12 vs 23.32 img/s); the custom
+# call's layout copies (2 x 0.2 ms/step f32 relayouts at the 512px sites)
+# outweigh the statistics pass it absorbs.  See BENCH_NOTES.md round 3.
+import os as _os
+_CONV3_IN_FUSED = _os.environ.get('SGAN_TPU_CONV3_IN', '0') == '1'
+
 
 def set_pallas_enabled(flag):
     global PALLAS_ENABLED
@@ -115,7 +123,7 @@ class Sequential(Layer):
         n = len(self.layers)
         while i < n:
             layer = self.layers[i]
-            if PALLAS_ENABLED and isinstance(layer, Conv2d) \
+            if PALLAS_ENABLED and _CONV3_IN_FUSED and isinstance(layer, Conv2d) \
                     and layer.kernel == 3 and layer.stride == 1 \
                     and layer.padding == 1 and i + 1 < n \
                     and isinstance(self.layers[i + 1], InstanceNorm2d):

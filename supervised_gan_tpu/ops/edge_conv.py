@@ -301,8 +301,10 @@ def _stem_vjp_bwd(stride, padding, res, g):
     h, wd = x.shape[1], x.shape[2]
     wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
     if s > 1:
-        # dx is a ConvTranspose to tiny channels — the phase-form head
-        dx = _head_convt_fwd(g, wT, None, s, padding)
+        # dx is a ConvTranspose to tiny channels — one dense phase dot
+        # (the per-phase tap-sum form profiled 3 x 0.57 ms/step of 2-lane
+        # loop fusions on the DSGAN bench; BENCH_NOTES.md round 3)
+        dx = _head_convt_fwd_dense(g, wT, None, s, padding)
     else:
         # dx is the full conv of g back to tiny channels — a head conv
         # (gather form; the scatter dual profiled 0.6 ms/step of
@@ -421,6 +423,64 @@ def _phase_taps(k, s, p):
     return taps
 
 
+def _head_convt_fwd_dense(x, w, b, stride, padding):
+    """Tiny-Co ConvTranspose as ONE dense dot straight to phase-major
+    channels.
+
+    The phase form (_head_convt_fwd) reads k*k channel-slices of its
+    t-tensor per output phase — at co <= 4 those are 2-lane loop fusions
+    (profiled 3 x 0.57 ms/step at 11 GB/s on the DSGAN bench: the dx of
+    every D stem flows through here).  This form concatenates the |D|^2
+    shifted contiguous slices of x (D = the phase-tap row offsets, an
+    im2col over the tap window) and contracts once against a
+    (|D|^2*ci, s*s*co) block matrix holding w[ky, kx] at the (shift,
+    phase) positions the tap table prescribes — the tap sums become the
+    K dimension of a single MXU dot, and only the final phase interleave
+    remains."""
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    s = stride
+    taps = _phase_taps(k, s, padding)
+    O = h - 1 + (k - 2 * padding) // s
+    OW = wd - 1 + (k - 2 * padding) // s
+    ds = sorted({d for lst in taps for (_, d) in lst})
+    d0 = ds[0]
+    pt = max(0, -d0)
+    pb = max(0, max(O, OW) - 1 + ds[-1] - (min(h, wd) - 1))
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pt, pb), (0, 0)))
+    cols = []
+    for a in ds:
+        for bb in ds:
+            cols.append(xp[:, pt + a:pt + a + O, pt + bb:pt + bb + OW, :])
+    patches = jnp.concatenate(cols, axis=-1)     # (n, O, OW, |D|^2*ci)
+    # (shift, phase) block matrix; at most one (ky, kx) lands per cell
+    zz = jnp.zeros((ci, co), w.dtype)
+    kymap = {q: {d: ky for ky, d in taps[q]} for q in range(s)}
+    rows = []
+    for a in ds:
+        for bb in ds:
+            row = []
+            for q in range(s):
+                for r in range(s):
+                    ky = kymap[q].get(a)
+                    kx = kymap[r].get(bb)
+                    row.append(zz if ky is None or kx is None
+                               else w[ky, kx])
+            rows.append(row)
+    w2 = jnp.block(rows)                         # (|D|^2*ci, s*s*co)
+    t = jax.lax.dot_general(
+        patches.reshape(n * O * OW, -1), w2.astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t = t.reshape(n, O, OW, s, s, co)
+    y = t.transpose(0, 1, 3, 2, 4, 5).reshape(n, s * O, s * OW, co)
+    y = y.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def head_convt(x, w, b, stride, padding):
     """Tiny-Co ConvTranspose (w stored pre-flipped HWIO, see
@@ -488,12 +548,16 @@ def _head_convt_vjp_bwd(stride, padding, res, g):
     n, h, wd, _ = x.shape
     s = stride
     # dx of a ConvTranspose is the plain strided conv of g with the
-    # flipped, io-transposed kernel — full output channels, so XLA's
-    # native conv handles it well
+    # flipped, io-transposed kernel — a tiny-Ci STEM shape (Ci = co <= 4):
+    # XLA's native conv ran it at 18 GB/s (0.52 ms/step per site on the
+    # DSGAN bench); the space-to-depth stem form is the measured fix
     wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
-    dx = jax.lax.conv_general_dilated(
-        g, wT, (s, s), ((padding, padding), (padding, padding)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if s > 1 and _s2d_ok(g, k, s, padding) and (k - 2 * padding) % s == 0:
+        dx = _stem_fwd(g, wT, None, s, padding)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            g, wT, (s, s), ((padding, padding), (padding, padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     # dw[ky,kx,c,o] = sum_m x[m,c] g_ph[q(ky)][m - d(ky), o]: de-interleave
     # g into phases (one relayout), build k*k contiguous-slice columns,
     # contract in ONE dot against x

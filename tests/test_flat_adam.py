@@ -1,0 +1,88 @@
+"""FlatAdam (flat per-dtype moment buffers) vs per-leaf optax: bit-exact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from supervised_gan_tpu.models.base import (FlatAdam, _pack_small_leaves,
+                                            _unpack_small_leaves,
+                                            _migrate_opt_entry,
+                                            _is_flat_moments)
+
+
+def _tree(key, big=False):
+    ks = jax.random.split(key, 6)
+    t = {'a': {'w': jax.random.normal(ks[0], (3, 3, 8, 16)),
+               'b': jax.random.normal(ks[1], (16,))},
+         'c': [jax.random.normal(ks[2], (7,)),
+               jax.random.normal(ks[3], (2, 5))]}
+    if big:
+        # > 4 MB leaf stays per-leaf inside FlatAdam
+        t['huge'] = jax.random.normal(ks[4], (1024, 1100))
+    return t
+
+
+def test_pack_unpack_roundtrip():
+    t = _tree(jax.random.PRNGKey(0), big=True)
+    packed = _pack_small_leaves(t, threshold=1024)   # (2,5), (7,), (16,) small
+    out = _unpack_small_leaves(packed, t, threshold=1024)
+    for a, b in zip(jax.tree_util.tree_leaves(t),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flat_adam_bit_exact_vs_optax():
+    params = _tree(jax.random.PRNGKey(1), big=True)
+    flat = FlatAdam(0.5)
+    ref = optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8)
+    sf, sr = flat.init(params), ref.init(params)
+    p_f = params
+    p_r = jax.tree_util.tree_map(lambda x: x, params)
+    for i in range(5):
+        grads = _tree(jax.random.PRNGKey(100 + i), big=True)
+        uf, sf = flat.update(grads, sf)
+        ur, sr = ref.update(grads, sr, None)
+        p_f = jax.tree_util.tree_map(lambda p, u: p - 0.01 * u, p_f, uf)
+        p_r = jax.tree_util.tree_map(lambda p, u: p - 0.01 * u, p_r, ur)
+    for a, b in zip(jax.tree_util.tree_leaves(p_f),
+                    jax.tree_util.tree_leaves(p_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flat_adam_under_jit_donated():
+    params = _tree(jax.random.PRNGKey(2))
+    flat = FlatAdam(0.9)
+    state = flat.init(params)
+
+    @jax.jit
+    def step(state, params, grads):
+        u, state = flat.update(grads, state)
+        return state, jax.tree_util.tree_map(lambda p, q: p - 0.1 * q,
+                                             params, u)
+
+    grads = _tree(jax.random.PRNGKey(3))
+    state, params2 = step(state, params, grads)
+    assert all(np.all(np.isfinite(l))
+               for l in jax.tree_util.tree_leaves(jax.device_get(params2)))
+
+
+def test_migrate_per_leaf_checkpoint_to_flat(monkeypatch):
+    monkeypatch.setenv('SGAN_TPU_FLAT_ADAM', '1')
+    params = _tree(jax.random.PRNGKey(4))
+    ref = optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8)
+    old = ref.init(params)
+    grads = _tree(jax.random.PRNGKey(5))
+    _, old = ref.update(grads, old, None)
+
+    migrated = _migrate_opt_entry(old)
+    assert _is_flat_moments(migrated.mu)
+
+    # continuing from the migrated state matches continuing per-leaf
+    flat = FlatAdam(0.5)
+    grads2 = _tree(jax.random.PRNGKey(6))
+    uf, _ = flat.update(grads2, migrated)
+    ur, _ = ref.update(grads2, old, None)
+    for a, b in zip(jax.tree_util.tree_leaves(uf),
+                    jax.tree_util.tree_leaves(ur)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -239,9 +239,11 @@ def test_conv3x3_in_act_vjp():
                                    rtol=2e-3, atol=2e-3)
 
 
-def test_sequential_peephole_conv_in_act():
+def test_sequential_peephole_conv_in_act(monkeypatch):
     """[Conv2d(3x3), InstanceNorm2d, LeakyReLU] through Sequential must hit
-    the fused region and agree with the unfused path."""
+    the fused region (gate forced on: default off, measured end-to-end
+    negative) and agree with the unfused path."""
+    monkeypatch.setattr(core, '_CONV3_IN_FUSED', True)
     seq = core.Sequential(core.Conv2d(64, 64, 3, 1, 1),
                           core.InstanceNorm2d(64),
                           core.LeakyReLU(0.2))
