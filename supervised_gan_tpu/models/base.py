@@ -32,27 +32,40 @@ def parse_which_channel(spec):
     return [[idx[c] for c in group] for group in spec.split('_')]
 
 
-_FLAT_ADAM_THRESHOLD = 4 * 1024 * 1024
+_FLAT_ADAM_COUNT = 1 << 20          # elements (= 4 MB at f32)
 
 
 def _flat_adam_enabled():
     return os.environ.get('SGAN_TPU_FLAT_ADAM', '1') != '0'
 
 
-def _pack_small_leaves(tree, threshold=_FLAT_ADAM_THRESHOLD):
+def _pack_dtype(dtype):
+    """Packing group for a leaf dtype.  All floating leaves pack as f32:
+    the vjp path returns SOME gradients as bf16 (the edge-conv backward
+    casts its cotangents, BENCH_NOTES round 2), so grouping by the leaf's
+    own dtype would give grads a different packed STRUCTURE than the
+    moments initialized from the f32 params — upcasting first keeps the
+    structure fixed (and runs the moment math at >= per-leaf precision)."""
+    dt = jnp.dtype(dtype)
+    return jnp.dtype(jnp.float32) if jnp.issubdtype(dt, jnp.floating) else dt
+
+
+def _pack_small_leaves(tree, threshold=_FLAT_ADAM_COUNT):
     """tree -> {'flat': {dtype_name: 1-D vec}, 'big': {str(i): leaf}}.
 
-    Deterministic tree_flatten order; leaves under the byte threshold are
-    raveled and concatenated per dtype, larger leaves pass through.  The
-    packed form exists so elementwise optimizer math runs as a handful of
-    full-bandwidth vector ops instead of one tiny fusion per parameter
-    (the DSGAN step spent ~2.5 ms/step in sub-20us optimizer/packing ops;
-    BENCH_NOTES.md round 3)."""
+    Deterministic tree_flatten order; leaves under the ELEMENT-count
+    threshold (count, not bytes — classification must not depend on a
+    leaf arriving bf16 vs f32) are raveled and concatenated per packing
+    dtype, larger leaves pass through.  The packed form exists so
+    elementwise optimizer math runs as a handful of full-bandwidth vector
+    ops instead of one tiny fusion per parameter (the DSGAN step spent
+    ~2.5 ms/step in sub-20us optimizer/packing ops; BENCH_NOTES round 3)."""
     leaves = jax.tree_util.tree_leaves(tree)
     bydt, big = {}, {}
     for i, l in enumerate(leaves):
-        if l.size * jnp.dtype(l.dtype).itemsize < threshold:
-            bydt.setdefault(jnp.dtype(l.dtype).name, []).append(jnp.ravel(l))
+        if l.size < threshold:
+            dt = _pack_dtype(l.dtype)
+            bydt.setdefault(dt.name, []).append(jnp.ravel(l).astype(dt))
         else:
             big[str(i)] = l
     flat = {dt: (jnp.concatenate(v) if len(v) > 1 else v[0])
@@ -60,14 +73,15 @@ def _pack_small_leaves(tree, threshold=_FLAT_ADAM_THRESHOLD):
     return {'flat': flat, 'big': big}
 
 
-def _unpack_small_leaves(packed, like, threshold=_FLAT_ADAM_THRESHOLD):
-    """Inverse of _pack_small_leaves against the template ``like``."""
+def _unpack_small_leaves(packed, like, threshold=_FLAT_ADAM_COUNT):
+    """Inverse of _pack_small_leaves against the template ``like``
+    (packed-dtype segments are returned as-is — f32 for floats)."""
     leaves, treedef = jax.tree_util.tree_flatten(like)
     offs = {}
     out = []
     for i, l in enumerate(leaves):
-        if l.size * jnp.dtype(l.dtype).itemsize < threshold:
-            dt = jnp.dtype(l.dtype).name
+        if l.size < threshold:
+            dt = _pack_dtype(l.dtype).name
             off = offs.get(dt, 0)
             out.append(jax.lax.slice(packed['flat'][dt], (off,),
                                      (off + l.size,)).reshape(l.shape))
@@ -82,8 +96,10 @@ class FlatAdam:
 
     Adam is elementwise, so running the moment updates on the
     concatenation of all (small) parameter leaves computes exactly the
-    per-leaf result while replacing ~3 tiny XLA ops per parameter tensor
-    with ~3 vector ops per dtype.  Moments are STORED flat (they are never
+    per-leaf result (bit-exact for f32 grads; bf16 cotangent leaves are
+    upcast before packing, so their moment math runs at f32 instead of
+    optax's mixed promotion) while replacing ~3 tiny XLA ops per
+    parameter tensor with ~3 vector ops per dtype.  Moments are STORED flat (they are never
     consumed per-leaf), so the jit-boundary packer also sees 2 big buffers
     instead of ~800 small mu/nu leaves.  Large leaves keep per-leaf
     moments.  Delegates the actual math to optax.scale_by_adam applied to

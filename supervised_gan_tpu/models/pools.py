@@ -2,7 +2,7 @@
 
 The reference's ImagePool (util/image_pool.py:5-42) is host-side Python with
 per-image list mutation — a host sync every step.  Here the pool is a ring
-buffer *inside the jitted train step*: a (pool_size, H*W*C) HBM array plus
+buffer *inside the jitted train step*: a (pool_size, H, W, C) HBM array plus
 a fill counter, updated with dynamic slices (in-place under buffer
 donation).  Semantics are identical per image:
 
@@ -10,18 +10,9 @@ donation).  Semantics are identical per image:
   * when full: with prob (1 - reject) swap a random slot and return the
     evicted image, else pass the image through.
 
-Storage is FLAT per image: a (pool_size, H, W, C) buffer with C=1..3 lanes
-tiles to (8,128) with up to 64x lane padding, and its dynamic-update-slice
-writes measured 1.37 ms/step on the DSGAN bench (13 GB/s); the flat
-(pool_size, H*W*C) layout tiles densely and the same writes run at
-bandwidth.  Images are reshaped at the query boundary (one cheap relayout
-of the 2 MB image vs a lane-starved ring write).
-
 ``sample`` draws random stored images — the fixed-noise pool
 (reference models/twostage_cycle_model.py:125-127,196-197).
 """
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -29,21 +20,11 @@ from jax import lax
 
 
 def init_pool(pool_size, image_shape, dtype=jnp.float32):
-    """image_shape: (H, W, C); stored flat as (pool_size, H*W*C)."""
+    """image_shape: (H, W, C)."""
     if pool_size <= 0:
         return None
-    flat = int(np.prod(image_shape))
-    return {"images": jnp.zeros((pool_size, flat), dtype),
+    return {"images": jnp.zeros((pool_size,) + tuple(image_shape), dtype),
             "num": jnp.zeros((), jnp.int32)}
-
-
-def _flat_images(pool):
-    """Stored buffer as (size, flat); tolerates pre-flat-layout (4-D)
-    checkpoints loaded from disk."""
-    images = pool["images"]
-    if images.ndim > 2:
-        images = images.reshape(images.shape[0], -1)
-    return images
 
 
 def pool_query(pool, batch, key, reject=0.5):
@@ -56,9 +37,7 @@ def pool_query(pool, batch, key, reject=0.5):
     """
     if pool is None:
         return batch, pool
-    images0 = _flat_images(pool)
-    size = images0.shape[0]
-    flat_batch = batch.reshape(batch.shape[0], -1)
+    size = pool["images"].shape[0]
 
     def step(carry, inp):
         images, num = carry
@@ -80,27 +59,20 @@ def pool_query(pool, batch, key, reject=0.5):
 
     keys = jax.random.split(key, batch.shape[0])
     (images, num), outs = lax.scan(
-        step, (images0, pool["num"]), (flat_batch, keys))
-    return outs.reshape(batch.shape), {"images": images, "num": num}
+        step, (pool["images"], pool["num"]), (batch, keys))
+    return outs, {"images": images, "num": num}
 
 
-def pool_sample(pool, batch_size, key, image_shape=None):
-    """Draw batch_size random stored images (assumes the pool was filled).
-    image_shape: per-image (H, W, C) to reshape into; flat rows if None."""
-    images = _flat_images(pool)
-    size = images.shape[0]
+def pool_sample(pool, batch_size, key):
+    """Draw batch_size random stored images (assumes the pool was filled)."""
+    size = pool["images"].shape[0]
     slots = jax.random.randint(key, (batch_size,), 0, size)
-    out = images[slots]
-    if image_shape is not None:
-        out = out.reshape((batch_size,) + tuple(image_shape))
-    return out
+    return pool["images"][slots]
 
 
 def pool_fill(pool, batch):
     """Host-side helper to pre-fill a pool (fixed-noise pool init)."""
-    images = _flat_images(pool)
-    n = min(batch.shape[0], images.shape[0])
-    flat = batch.reshape(batch.shape[0], -1).astype(images.dtype)
-    images = images.at[:n].set(flat[:n])
+    n = min(batch.shape[0], pool["images"].shape[0])
+    images = pool["images"].at[:n].set(batch[:n])
     return {"images": images,
             "num": jnp.asarray(n, jnp.int32)}

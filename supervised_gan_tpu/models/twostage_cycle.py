@@ -234,8 +234,7 @@ class TwoStageCycleModel(TwoGroupModel):
 
         def sample_noises(k, pools):
             if opt.use_fixed_noise1:
-                n1 = pool_sample(pools['noise1'], opt.batchSize, k(),
-                                 image_shape=noise_shapes['noise1'][1:])
+                n1 = pool_sample(pools['noise1'], opt.batchSize, k())
             else:
                 n1 = jax.random.normal(k(), noise_shapes['noise1'])
             n2 = jax.random.normal(k(), noise_shapes['noise2'])

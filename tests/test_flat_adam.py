@@ -67,6 +67,29 @@ def test_flat_adam_under_jit_donated():
                for l in jax.tree_util.tree_leaves(jax.device_get(params2)))
 
 
+def test_flat_adam_bf16_grad_leaves():
+    """The vjp path returns SOME grads bf16 (edge-conv cotangent casts):
+    the packed structure must stay identical to the f32-params moments,
+    and classification must not flip on dtype (count threshold)."""
+    params = _tree(jax.random.PRNGKey(7), big=True)
+    flat = FlatAdam(0.5)
+    state = flat.init(params)
+    grads = _tree(jax.random.PRNGKey(8), big=True)
+    # mixed-precision cotangents: one small and the big leaf arrive bf16
+    grads['a']['w'] = grads['a']['w'].astype(jnp.bfloat16)
+    grads['huge'] = grads['huge'].astype(jnp.bfloat16)
+    u, state = flat.update(grads, state)     # raised ValueError before fix
+    ref = optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8)
+    ur, _ = ref.update(grads, ref.init(params), None)
+    for a, b in zip(jax.tree_util.tree_leaves(u),
+                    jax.tree_util.tree_leaves(ur)):
+        # f32-upcast moment math vs optax's mixed promotion: close, and
+        # identical where the grads were f32 all along
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_migrate_per_leaf_checkpoint_to_flat(monkeypatch):
     monkeypatch.setenv('SGAN_TPU_FLAT_ADAM', '1')
     params = _tree(jax.random.PRNGKey(4))

@@ -18,7 +18,7 @@ def test_pool_fills_then_swaps():
         out, pool = pool_query(pool, batch, jax.random.fold_in(key, i))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(batch))
     assert int(pool['num']) == 4
-    stored = np.asarray(pool['images'])[:, 0]   # flat (size, H*W*C) store
+    stored = np.asarray(pool['images'])[:, 0, 0, 0]
     np.testing.assert_array_equal(stored, [0, 1, 2, 3])
 
     # full pool: output is either the new image (reject) or an evicted one
