@@ -36,6 +36,8 @@ _EDGE_STEM = _EDGE and os.environ.get("SGAN_TPU_EDGE_STEM", "1") != "0"
 # profiles: 40.52 vs 39.74 ms/step) — the 75 MB patches matrix
 # materializes through an unfused relayout in-step.  Default off.
 _EDGE_MID = _EDGE and os.environ.get("SGAN_TPU_EDGE_MID", "0") != "0"
+# crn (banded pair dots for the 3x3 ci=2co halving convs)
+_EDGE_CRN = _EDGE and os.environ.get("SGAN_TPU_EDGE_CRN", "1") != "0"
 
 
 def _cast(x, w, compute_dtype):
@@ -66,6 +68,12 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
         if _EDGE_MID and edge_conv.mid_conv_supported(x, w, stride,
                                                        padding):
             return edge_conv.mid_conv(x, w, b, stride, padding)
+        # CRN bilinear-upsample halving convs (ci = 2co = 128): banded
+        # pair dots dodge the in-step T(2,128) conv layout (573 us in
+        # context vs 160 isolated; see edge_conv._crn_fwd)
+        if _EDGE_CRN and edge_conv.crn_conv_supported(x, w, stride,
+                                                      padding):
+            return edge_conv.crn_conv(x, w, b, stride, padding)
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     y = lax.conv_general_dilated(

@@ -44,6 +44,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 # heads: dispatch when Co*4 <= Ci (measured win region); stems: Ci tiny
 HEAD_MAX_CO = 4
@@ -396,6 +397,118 @@ def _mid_vjp_bwd(stride, padding, res, g):
 
 
 mid_conv.defvjp(_mid_vjp_fwd, _mid_vjp_bwd)
+
+
+# ------------------------------------------- CRN halving convs (ci = 2co)
+
+def _band_pair_out(w):
+    """(3, 3, Ci, Co) -> B[ky, s] of shape (2*Ci, 2*Co).
+
+    Banded block matrices for the pair-packed forward: output tuples are 2
+    adjacent pixels x Co lanes; input operand s is the tuple view of the
+    1-px-left-padded image shifted s tuples right.  Block (p_in, p_out)
+    of B[ky, s] holds w[ky, kx] with kx = 2s + p_in - p_out (the +1 from
+    the pad and the -1 from tap centering cancel), 0 <= kx < 3."""
+    ci, co = w.shape[2], w.shape[3]
+    B = jnp.zeros((3, 2, 2 * ci, 2 * co), w.dtype)
+    for ky in range(3):
+        for s in range(2):
+            for p_in in range(2):
+                for p_out in range(2):
+                    kx = 2 * s + p_in - p_out
+                    if 0 <= kx < 3:
+                        B = B.at[ky, s, p_in * ci:(p_in + 1) * ci,
+                                 p_out * co:(p_out + 1) * co].set(w[ky, kx])
+    return B
+
+
+def _crn_fwd(x, w, b):
+    """Pair-packed banded-dot forward: 6 MXU dots (H*W/2, 2Ci) x (2Ci, 2Co).
+
+    The CRN bilinear-upsample convs (3,3,128,64 at 256px — reference
+    models/networks.py:738-764 UpsampleBlock, the two largest fwd ops of
+    the round-3 DSGAN device profile) run 3.6x slower INSIDE the step
+    (573 us) than isolated (160 us): in context XLA assigns them a
+    T(2,128) activation layout and brackets them with relayout copies.
+    Dots take rigid canonical layouts, so this form is immune to the
+    context: 0.163 ms isolated (59 TF/s-equiv incl. the 4/3 band
+    padding), and the pad/slice/reshape around it are fusable bandwidth
+    ops, not opaque conv configs."""
+    n, h, W, ci = x.shape
+    co = w.shape[3]
+    W2 = W // 2
+    B = _band_pair_out(w.astype(x.dtype))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xpp = xp.reshape(n, h + 2, (W + 2) // 2, 2 * ci)
+    acc = None
+    for ky in range(3):
+        for s in range(2):
+            op = lax.slice(xpp, (0, ky, s, 0), (n, ky + h, s + W2, 2 * ci))
+            d = lax.dot_general(op.reshape(-1, 2 * ci), B[ky, s],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    y = acc.reshape(n, h, W, co).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def crn_conv_supported(x, w, stride, padding):
+    """k3 s1 p1 halving convs: ci = 2*co = 128 (the CRN pyramid's
+    concat(label-embed, upsampled-features) inputs), batch 1, even width,
+    >= 256^2 pixels (the smaller pyramid scales are too cheap to matter
+    and small-size dispatch risks the usual composition tax)."""
+    kh, kw, ci, co = w.shape
+    n, h, wd, _ = x.shape
+    return (kh == kw and kh == 3 and stride == 1 and padding == 1
+            and ci == 128 and co == 64 and n == 1
+            and wd % 2 == 0 and h * wd >= 256 * 256)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def crn_conv(x, w, b, stride, padding):
+    """3x3 s1 p1 halving conv (ci = 2co) as banded pair dots; XLA dx
+    (the widening conv g 64->128 runs at 81 TF/s isolated — already
+    optimal) + nine-dot dw (0.228 vs XLA's 0.310 ms isolated).  Callers
+    gate on crn_conv_supported; semantics = ops.conv.conv2d."""
+    return _crn_fwd(x, w, b)
+
+
+def _crn_vjp_fwd(x, w, b, stride, padding):
+    return _crn_fwd(x, w, b), (x, w, b is not None)
+
+
+def _nine_dot_dw(x, g):
+    """dw as nine K-major dots, any (ci, co) — same form as
+    ops/pallas/conv3x3._dw_9dot (BENCH_NOTES.md round 3)."""
+    n, h, w_, c = x.shape
+    co = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    g2 = g.reshape(-1, co)
+    outs = []
+    for ky in range(3):
+        for kx in range(3):
+            xs = lax.slice(xp, (0, ky, kx, 0), (n, ky + h, kx + w_, c))
+            outs.append(lax.dot_general(
+                xs.reshape(-1, c), g2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    return jnp.stack(outs).reshape(3, 3, c, co)
+
+
+def _crn_vjp_bwd(stride, padding, res, g):
+    x, w, has_b = res
+    wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
+    dx = jax.lax.conv_general_dilated(
+        g, wT, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dw = _nine_dot_dw(x, g).astype(w.dtype)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    return dx.astype(x.dtype), dw, db
+
+
+crn_conv.defvjp(_crn_vjp_fwd, _crn_vjp_bwd)
 
 
 # ------------------------------------------------------- convT heads

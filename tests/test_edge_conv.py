@@ -92,6 +92,26 @@ def test_mid_conv(H, Ci, Co, k, s, p):
            lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
 
 
+# CRN bilinear-upsample halving conv (ci = 2co); the form is size-
+# agnostic so parity runs small, the >=256^2 dispatch gate is asserted
+# separately
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [(32, 128, 64, 3, 1, 1)])
+def test_crn_conv(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    _check(lambda x, w, b: e.crn_conv(x, w, b, s, p),
+           lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
+
+
+def test_crn_conv_gates():
+    x, w, _ = _mk(256, 128, 64, 3)
+    assert e.crn_conv_supported(x, w, 1, 1)
+    assert not e.crn_conv_supported(x, w, 2, 1)      # strided
+    x, w, _ = _mk(128, 128, 64, 3)                   # too small
+    assert not e.crn_conv_supported(x, w, 1, 1)
+    x, w, _ = _mk(256, 64, 64, 3)                    # ci != 2co
+    assert not e.crn_conv_supported(x, w, 1, 1)
+
+
 def test_mid_conv_gates():
     x, w, _ = _mk(128, 128, 64, 3)     # ci=128 measured a loss
     assert not e.mid_conv_supported(x, w, 1, 1)
