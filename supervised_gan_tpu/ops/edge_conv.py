@@ -46,9 +46,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import os as _os
+
 # heads: dispatch when Co*4 <= Ci (measured win region); stems: Ci tiny
 HEAD_MAX_CO = 4
 STEM_MAX_CI = 8
+# convT-head forward form: 'dense' (one phase-major dot) | 'sum'
+# (per-phase tap sums — the round-2 original, kept for A/B)
+_HCT_MODE = _os.environ.get('SGAN_TPU_HCT', 'dense')
 
 
 def _pad_hw(x, ph, pw):
@@ -597,13 +602,18 @@ def _head_convt_fwd_dense(x, w, b, stride, padding):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def head_convt(x, w, b, stride, padding):
     """Tiny-Co ConvTranspose (w stored pre-flipped HWIO, see
-    ops.conv.conv_transpose2d) in phase form: one dense dot
-    t = x @ W (x read once), per-phase sums of contiguous slices of t,
-    and a single cheap interleave — never a strided slice of a
-    lane-starved tensor (measured pathological: the zero-dilate form ran
-    0.58/7.3 ms fwd/vjp at 256px 64->2 vs XLA's 0.23/0.90; see
-    BENCH_NOTES.md round 2).  Callers gate on head_convt_supported."""
-    return _head_convt_fwd(x, w, b, stride, padding)
+    ops.conv.conv_transpose2d) as ONE dense phase-major dot
+    (_head_convt_fwd_dense) — never a strided slice of a lane-starved
+    tensor (measured pathological: the zero-dilate form ran 0.58/7.3 ms
+    fwd/vjp at 256px 64->2 vs XLA's 0.23/0.90; BENCH_NOTES.md round 2).
+    The earlier per-phase tap-sum form (_head_convt_fwd, SGAN_TPU_HCT=sum
+    re-enables) left 3 x 0.57 ms/step of 2-lane loop fusions in the
+    DSGAN step — the co<=4 phase accumulators are lane-starved no matter
+    how they are fed (round-3 note); the dense form keeps the tap sums in
+    the K dimension of the dot.  Callers gate on head_convt_supported."""
+    if _HCT_MODE == 'sum':
+        return _head_convt_fwd(x, w, b, stride, padding)
+    return _head_convt_fwd_dense(x, w, b, stride, padding)
 
 
 def _head_convt_fwd(x, w, b, stride, padding):
@@ -649,7 +659,7 @@ def _head_convt_fwd(x, w, b, stride, padding):
 
 
 def _head_convt_vjp_fwd(x, w, b, stride, padding):
-    return _head_convt_fwd(x, w, b, stride, padding), (x, w, b is not None)
+    return head_convt(x, w, b, stride, padding), (x, w, b is not None)
 
 
 def _head_convt_vjp_bwd(stride, padding, res, g):
@@ -671,33 +681,50 @@ def _head_convt_vjp_bwd(stride, padding, res, g):
         dx = jax.lax.conv_general_dilated(
             g, wT, (s, s), ((padding, padding), (padding, padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # dw[ky,kx,c,o] = sum_m x[m,c] g_ph[q(ky)][m - d(ky), o]: de-interleave
-    # g into phases (one relayout), build k*k contiguous-slice columns,
-    # contract in ONE dot against x
+    # dw via the dense-form transpose: dW2 = patches^T @ t_grad, ONE
+    # (M, |D|^2*ci) x (M, s*s*co) dot, then a 16-tiny-slice extraction
+    # from the (|D|^2*ci, s*s*co) result.  The earlier per-(ky,kx)
+    # column extraction sliced the de-interleaved cotangent at co<=4
+    # lane granularity — profiled 3 x 0.57 ms/step of 2-lane loop
+    # fusions on the DSGAN bench (round-3 trace); here the cotangent is
+    # consumed whole as the dot's N dimension.
     taps = _phase_taps(k, s, padding)
-    O, ow = g.shape[1] // s, g.shape[2] // s
-    gph = g.reshape(n, O, s, ow, s, co).transpose(0, 1, 3, 2, 4, 5)
-    ds = [d for lst in taps for (_, d) in lst]
-    gl = max(0, max(ds))
-    gr = max(0, h - 1 - min(ds) - (O - 1))
-    gph = jnp.pad(gph, ((0, 0), (gl, gr), (gl, gr), (0, 0), (0, 0), (0, 0)))
+    O = h - 1 + (k - 2 * padding) // s
+    OW = wd - 1 + (k - 2 * padding) // s
+    ds = sorted({d for lst in taps for (_, d) in lst})
+    pt = max(0, -ds[0])
+    pb = max(0, max(O, OW) - 1 + ds[-1] - (min(h, wd) - 1))
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pt, pb), (0, 0)))
+    cols = []
+    for a in ds:
+        for bb in ds:
+            cols.append(xp[:, pt + a:pt + a + O, pt + bb:pt + bb + OW, :])
+    patches = jnp.concatenate(cols, axis=-1)     # (n, O, OW, |D|^2*ci)
+    tg = g.reshape(n, O, s, OW, s, co).transpose(0, 1, 3, 2, 4, 5)
+    dW2 = jax.lax.dot_general(
+        patches.reshape(n * O * OW, -1),
+        tg.reshape(n * O * OW, s * s * co),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (|D|^2*ci, s*s*co)
     dmap = {}
     for q in range(s):
         for ky, d in taps[q]:
             dmap[ky] = (q, d)
-    cols = []
+    didx = {d: i for i, d in enumerate(ds)}
+    nd = len(ds)
+    rows = []
     for ky in range(k):
         qy, dy = dmap[ky]
+        ai = didx[dy]
+        row = []
         for kx in range(k):
-            qx, dx_ = dmap[kx]
-            cols.append(gph[:, gl - dy:gl - dy + h,
-                            gl - dx_:gl - dx_ + wd, qy, qx, :])
-    gcols = jnp.concatenate(cols, axis=-1)       # (n, h, wd, k*k*co)
-    dw = jax.lax.dot_general(
-        x.reshape(n * h * wd, ci), gcols.reshape(n * h * wd, -1),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dw = dw.reshape(ci, k, k, co).transpose(1, 2, 0, 3).astype(w.dtype)
+            qx, dx2 = dmap[kx]
+            bi = didx[dx2]
+            blk = dW2[(ai * nd + bi) * ci:(ai * nd + bi + 1) * ci,
+                      (qy * s + qx) * co:(qy * s + qx + 1) * co]
+            row.append(blk)
+        rows.append(jnp.stack(row))
+    dw = jnp.stack(rows).astype(w.dtype)         # (k, k, ci, co)
     return dx.astype(x.dtype), dw, db
 
 
