@@ -59,12 +59,16 @@ def _kernel(x_ref, o_ref, *, eps, slope):
 
 
 def _xla_fallback(x, eps, slope):
-    x32 = x.astype(jnp.float32)
-    # one-pass statistics (sibling reductions; see ops/norm.py)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    msq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    # one-pass statistics.  NO shared x32 node: a single f32 convert of a
+    # bf16 512^2 activation feeding several fusions gets MATERIALIZED
+    # (64 MB) and relayouted between them (profiled ~1 ms/step of
+    # f32[512,512,64] copies at the IN sites, round-3 trace); per-consumer
+    # converts duplicate into each fusion instead (convert_reduce_fusion).
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    msq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                   keepdims=True)
     var = jnp.maximum(msq - mean * mean, 0.0)
-    y = (x32 - mean) * lax.rsqrt(var + eps)
+    y = (x.astype(jnp.float32) - mean) * lax.rsqrt(var + eps)
     if slope is not None:
         y = jnp.where(y >= 0, y, y * slope)
     return y.astype(x.dtype)
@@ -92,28 +96,38 @@ def fused_instance_norm_act(x, eps=1e-5, slope=None):
 
 def _fwd(x, eps, slope):
     # residuals carry the (tiny) per-channel stats so the backward skips
-    # the full statistics pass over x (one read instead of two)
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    msq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    # the full statistics pass over x (one read instead of two).
+    # Same no-shared-x32 rule as _xla_fallback: per-consumer converts.
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    msq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                   keepdims=True)
     var = jnp.maximum(msq - mean * mean, 0.0)
     inv = lax.rsqrt(var + eps)
-    y = (x32 - mean) * inv
+    y = (x.astype(jnp.float32) - mean) * inv
     if slope is not None:
         y = jnp.where(y >= 0, y, y * slope)
     return y.astype(x.dtype), (x, mean, inv)
 
 
 def _bwd(eps, slope, res, g):
+    # Keep multi-consumer intermediates in x.dtype (bf16 in the bench
+    # step): a shared f32 xhat / g' node gets materialized at 2x the
+    # bytes and relayouted between its consumer fusions.  xhat() makes a
+    # fresh elementwise subgraph per consumer so each fusion recomputes
+    # it from the bf16 x (free — these fusions are bandwidth-bound).
     x, mean, inv = res
-    x32 = x.astype(jnp.float32)
-    xhat = (x32 - mean) * inv
-    g32 = g.astype(jnp.float32)
+
+    def xhat():
+        return (x.astype(jnp.float32) - mean) * inv
+
     if slope is not None:
-        g32 = jnp.where(xhat >= 0, g32, g32 * slope)
-    gm = jnp.mean(g32, axis=(1, 2), keepdims=True)
-    gx = jnp.mean(g32 * xhat, axis=(1, 2), keepdims=True)
-    dx = (g32 - gm - xhat * gx) * inv
+        gp = jnp.where(xhat() >= 0, g, g * jnp.asarray(slope, g.dtype))
+    else:
+        gp = g
+    gm = jnp.mean(gp, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    gx = jnp.mean(gp.astype(jnp.float32) * xhat(), axis=(1, 2),
+                  keepdims=True)
+    dx = (gp.astype(jnp.float32) - gm - xhat() * gx) * inv
     return (dx.astype(x.dtype),)
 
 
