@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from .two_group import TwoGroupModel
 from .base import adam_transform
 from .common import (build_gan_train_step, bank_apply, g_apply,
-                     l1_weight_map)
+                     l1_weight_map, cat_channels)
 from .pools import init_pool, pool_query
 from .. import nn
 from ..nn.losses import gan_loss, weighted_l1_loss
@@ -108,7 +108,7 @@ class CGAN2Model(TwoGroupModel):
             return {'fake_B_from_real_A': f_real, 'fake_B_from_fake_A': f_fake}
 
         def cat_pair(a, b):
-            return b if opt.no_cgan else jnp.concatenate([a, b], -1)
+            return b if opt.no_cgan else cat_channels(a, b)
 
         def make_pairs(taps, pools, key, inputs):
             if not opt.train_D_on_fake_fake_pair:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from .two_group import TwoGroupModel
 from .base import adam_transform
 from .common import (build_gan_train_step, bank_apply, g_apply,
-                     l1_weight_map)
+                     l1_weight_map, cat_channels)
 from .pools import init_pool, pool_query
 from .. import nn
 from ..nn.losses import gan_loss, weighted_l1_loss, bce_loss
@@ -124,7 +124,7 @@ class CGANCycleModel(TwoGroupModel):
             return {'fake_B': fake_B, 'fake_A': fake_A, 'recon_A': recon_A}
 
         def cat_pair(a, b):
-            return b if opt.no_cgan else jnp.concatenate([a, b], -1)
+            return b if opt.no_cgan else cat_channels(a, b)
 
         def d1_pairs(taps, pools, key, inputs):
             fake, p1 = pool_query(pools['pool1'],

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import adam_transform
-from .common import build_gan_train_step, bank_apply, g_apply
+from .common import build_gan_train_step, bank_apply, g_apply, cat_channels
 from .pools import init_pool, pool_query
 from .segmentation import SegmentationModel
 from .. import nn
@@ -166,7 +166,7 @@ class SegmentationCycleModel(SegmentationModel):
                     'recon_A': recon_A}
 
         def cat_pair(a, b):
-            return b if opt.no_cgan else jnp.concatenate([a, b], -1)
+            return b if opt.no_cgan else cat_channels(a, b)
 
         def d2_pairs(taps, pools, key, inputs):
             fake, p2 = pool_query(pools['pool2'],

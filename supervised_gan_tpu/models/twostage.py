@@ -16,7 +16,7 @@ from jax import lax
 
 from .two_group import TwoGroupModel
 from .base import adam_transform
-from .common import build_gan_train_step, bank_apply, g_apply
+from .common import build_gan_train_step, bank_apply, g_apply, cat_channels
 from .pools import init_pool, pool_query
 from .. import nn
 from ..nn.losses import gan_loss, gan_loss_multiclass, weighted_l1_loss
@@ -160,7 +160,7 @@ class TwoStageModel(TwoGroupModel):
                     'fake_B_from_fake_A': fake_B_from_fake_A}
 
         def cat_pair(a, b):
-            return b if opt.no_cgan else jnp.concatenate([a, b], -1)
+            return b if opt.no_cgan else cat_channels(a, b)
 
         def d1_pairs(taps, pools, key, inputs):
             fake, p1 = pool_query(pools['pool1'], taps['fake_A'], key)

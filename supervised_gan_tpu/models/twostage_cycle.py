@@ -25,7 +25,7 @@ from jax import lax
 from .two_group import TwoGroupModel
 from .base import adam_transform
 from .common import (build_gan_train_step, bank_apply, bank_apply_multi,
-                     g_apply, g_apply_multi, l1_weight_map)
+                     g_apply, g_apply_multi, l1_weight_map, cat_channels)
 from .pools import init_pool, pool_query, pool_sample, pool_fill
 from .. import nn
 from ..nn.losses import gan_loss, gan_loss_multiclass, weighted_l1_loss, bce_loss
@@ -260,7 +260,7 @@ class TwoStageCycleModel(TwoGroupModel):
 
         # ----------------------------- D2 ------------------------------ #
         def cat_pair(a, b):
-            return b if opt.no_cgan else jnp.concatenate([a, b], -1)
+            return b if opt.no_cgan else cat_channels(a, b)
 
         def d2_pairs(taps, pools, key, inputs):
             out = {}

@@ -68,10 +68,12 @@ def _xla_fallback(x, eps, slope):
     msq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
                    keepdims=True)
     var = jnp.maximum(msq - mean * mean, 0.0)
-    y = (x.astype(jnp.float32) - mean) * lax.rsqrt(var + eps)
+    # activate after the cast down — see _fwd
+    y = ((x.astype(jnp.float32) - mean)
+         * lax.rsqrt(var + eps)).astype(x.dtype)
     if slope is not None:
-        y = jnp.where(y >= 0, y, y * slope)
-    return y.astype(x.dtype)
+        y = jnp.where(y >= 0, y, y * jnp.asarray(slope, y.dtype))
+    return y
 
 
 def _forward(x, eps, slope):
@@ -103,10 +105,17 @@ def _fwd(x, eps, slope):
                    keepdims=True)
     var = jnp.maximum(msq - mean * mean, 0.0)
     inv = lax.rsqrt(var + eps)
-    y = (x.astype(jnp.float32) - mean) * inv
+    # normalize in f32, but activate AFTER the cast down: the activated
+    # output is what crosses to the consumer (often a relayout copy into
+    # a dot's rigid canonical layout — edge_conv CRN forms), and a bf16
+    # node halves that copy (profiled 0.4 ms/step of f32 512^2 relayout
+    # copies at this line, round-3 trace).  Sign is preserved by the
+    # cast, so the select is identical; only the slope product rounds
+    # once more.
+    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
     if slope is not None:
-        y = jnp.where(y >= 0, y, y * slope)
-    return y.astype(x.dtype), (x, mean, inv)
+        y = jnp.where(y >= 0, y, y * jnp.asarray(slope, y.dtype))
+    return y, (x, mean, inv)
 
 
 def _bwd(eps, slope, res, g):
