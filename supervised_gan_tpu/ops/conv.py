@@ -31,13 +31,20 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 _EDGE = os.environ.get("SGAN_TPU_EDGE_CONV", "1") != "0"
 _EDGE_HEAD = _EDGE and os.environ.get("SGAN_TPU_EDGE_HEAD", "1") != "0"
 _EDGE_STEM = _EDGE and os.environ.get("SGAN_TPU_EDGE_STEM", "1") != "0"
-# mid (one-dot dw for CRN-trunk 3x3s) measured a 2.2x ISOLATED vjp win
-# but a 0.8 ms/step net LOSS in the full DSGAN step (A/B device
-# profiles: 40.52 vs 39.74 ms/step) — the 75 MB patches matrix
-# materializes through an unfused relayout in-step.  Default off.
-_EDGE_MID = _EDGE and os.environ.get("SGAN_TPU_EDGE_MID", "0") != "0"
+# mid: XLA fwd/dx with the dw replaced.  The round-2 one-dot dw was a
+# 0.8 ms/step net LOSS (75 MB patches relayout); the round-3 nine-dot
+# dw (no patches materialization) WINS 0.6 ms/step end-to-end
+# (A/B device 37.09 -> 36.50 ms) and is the default
+# (SGAN_TPU_MID_DW=onedot restores the old form for A/B).
+_EDGE_MID = _EDGE and os.environ.get("SGAN_TPU_EDGE_MID", "1") != "0"
 # crn (banded pair dots for the 3x3 ci=2co halving convs)
 _EDGE_CRN = _EDGE and os.environ.get("SGAN_TPU_EDGE_CRN", "1") != "0"
+# trunk (k4s2 ci<=32 convs via the stem dot form, dodging the
+# in-context T(2,128) layout trap at the unet 32->64 sites: that conv
+# runs 8.3 TF/s in-context vs 50+ isolated).  A/B device 37.09 -> 36.26
+# ms/step at ci<=32; widening to ci<=256 LOSES (38.27 — the D trunks
+# are layout-stable already), hence the tight SGAN_TPU_TRUNK_CI_MAX=32.
+_EDGE_TRUNK = _EDGE and os.environ.get("SGAN_TPU_EDGE_TRUNK", "1") != "0"
 
 
 def _cast(x, w, compute_dtype):
@@ -63,8 +70,11 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
         if _EDGE_STEM and edge_conv.stem_conv_supported(x, w, stride,
                                                          padding):
             return edge_conv.stem_conv(x, w, b, stride, padding)
-        # CRN-trunk 3x3s: XLA forward kept, dw replaced by the one-dot
-        # form (vjp 0.263 vs 0.568 ms at 256px c64)
+        if _EDGE_TRUNK and edge_conv.trunk_conv_supported(x, w, stride,
+                                                          padding):
+            return edge_conv.stem_conv(x, w, b, stride, padding)
+        # CRN-trunk 3x3s: XLA forward kept, dw replaced by the nine-dot
+        # form (see _EDGE_MID above; SGAN_TPU_MID_DW selects the form)
         if _EDGE_MID and edge_conv.mid_conv_supported(x, w, stride,
                                                        padding):
             return edge_conv.mid_conv(x, w, b, stride, padding)

@@ -54,6 +54,7 @@ STEM_MAX_CI = 8
 # convT-head forward form: 'dense' (one phase-major dot) | 'sum'
 # (per-phase tap sums — the round-2 original, kept for A/B)
 _HCT_MODE = _os.environ.get('SGAN_TPU_HCT', 'dense')
+_MID_DW = _os.environ.get('SGAN_TPU_MID_DW', '9dot')
 
 
 def _pad_hw(x, ph, pw):
@@ -250,6 +251,25 @@ def stem_conv_supported(x, w, stride, padding):
                      and (kh - 2 * padding) % stride == 0)))
 
 
+def trunk_conv_supported(x, w, stride, padding):
+    """Gate for routing mid-channel k4s2 trunk convs (unet encoders, the
+    PatchGAN trunks) through the stem dot form.
+
+    These convs are fast ISOLATED (50-150 TF/s) but in the full step XLA
+    assigns them T(2,128) activation layouts and brackets them with
+    relayout copies (8-27 TF/s in-context, round-3 trace) — the same
+    context trap the CRN halving convs dodged with dots.  The dot form's
+    rigid canonical layouts cannot be re-laid-out by the scheduler.
+    Math is stem_conv's (channel-count generic)."""
+    kh, kw, ci, co = w.shape
+    ci_max = int(_os.environ.get('SGAN_TPU_TRUNK_CI_MAX', '32'))
+    return (8 < ci <= ci_max and co >= 16 and kh == kw == 4
+            and stride == 2 and isinstance(padding, int)
+            and x.shape[1] * x.shape[2] <= 512 * 512
+            and _s2d_ok(x, kh, stride, padding)
+            and (kh - 2 * padding) % stride == 0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def stem_conv(x, w, b, stride, padding):
     """Tiny-Ci conv as explicit im2col + one dense matmul (callers gate
@@ -396,7 +416,12 @@ def _mid_vjp_bwd(stride, padding, res, g):
     # conversions around the custom-call do not fuse at 256px (the same
     # lesson as the fwd kernel's >=512px dispatch gate); the pure-XLA
     # one-dot form composes.
-    dw = dw_onedot(x, g, w.shape, stride, padding).astype(w.dtype)
+    if _MID_DW == '9dot' and kh == 3 and padding == 1 and stride == 1:
+        # nine K-major dots: no patches materialization (the one-dot
+        # form's 75 MB relayout was the round-2 net loss)
+        dw = _nine_dot_dw(x, g).astype(w.dtype)
+    else:
+        dw = dw_onedot(x, g, w.shape, stride, padding).astype(w.dtype)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
     return dx.astype(x.dtype), dw, db
 
