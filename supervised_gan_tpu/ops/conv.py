@@ -45,6 +45,11 @@ _EDGE_CRN = _EDGE and os.environ.get("SGAN_TPU_EDGE_CRN", "1") != "0"
 # ms/step at ci<=32; widening to ci<=256 LOSES (38.27 — the D trunks
 # are layout-stable already), hence the tight SGAN_TPU_TRUNK_CI_MAX=32.
 _EDGE_TRUNK = _EDGE and os.environ.get("SGAN_TPU_EDGE_TRUNK", "1") != "0"
+# trunk convT (mid-channel k4s2 ConvTranspose via the dense phase-dot
+# form): A/B device 35.59 -> 35.39 ms/step (the unet decoder sites;
+# the co >= 64 phase interleave is lane-friendly, unlike the c2 heads)
+_EDGE_TRUNK_CT = _EDGE and os.environ.get("SGAN_TPU_EDGE_TRUNK_CT",
+                                          "1") != "0"
 
 
 def _cast(x, w, compute_dtype):
@@ -110,6 +115,9 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
         from . import edge_conv
         if edge_conv.head_convt_supported(x, w, stride, padding,
                                           output_padding):
+            return edge_conv.head_convt(x, w, b, stride, padding)
+        if _EDGE_TRUNK_CT and edge_conv.trunk_convt_supported(
+                x, w, stride, padding, output_padding):
             return edge_conv.head_convt(x, w, b, stride, padding)
     kh, kw = w.shape[0], w.shape[1]
     s = (stride, stride) if isinstance(stride, int) else stride

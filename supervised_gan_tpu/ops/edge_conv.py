@@ -551,6 +551,18 @@ def head_convt_supported(x, w, stride, padding, output_padding=0):
             and (kh - 2 * padding) % stride == 0)
 
 
+def trunk_convt_supported(x, w, stride, padding, output_padding=0):
+    """Gate for mid-channel k4s2 ConvTranspose (unet decoders) through the
+    dense phase-dot form.  Same machinery as head_convt (channel-generic);
+    at co >= 64 the final phase interleave is lane-friendly, unlike the
+    co <= 4 heads that motivated the dense form."""
+    kh, kw, ci, co = w.shape
+    co_max = int(_os.environ.get('SGAN_TPU_TRUNK_CONVT_CO_MAX', '256'))
+    return (HEAD_MAX_CO < co <= co_max and ci >= 16 and kh == kw == 4
+            and stride == 2 and padding == 1 and output_padding == 0
+            and x.shape[1] * x.shape[2] <= 256 * 256)
+
+
 def _phase_taps(k, s, p):
     """For each output phase q (Y = s*m + q): the (ky, d) pairs with
     y[Y] += w[ky] x[m + d], from the stored-pre-flipped lhs-dilated form
@@ -700,7 +712,10 @@ def _head_convt_vjp_bwd(stride, padding, res, g):
     # XLA's native conv ran it at 18 GB/s (0.52 ms/step per site on the
     # DSGAN bench); the space-to-depth stem form is the measured fix
     wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
-    if s > 1 and _s2d_ok(g, k, s, padding) and (k - 2 * padding) % s == 0:
+    if (s > 1 and co <= 32 and _s2d_ok(g, k, s, padding)
+            and (k - 2 * padding) % s == 0):
+        # stem dot form only at small Ci (= co): the ci<=256 trunk A/B
+        # showed the s2d form loses where XLA's layout is stable
         dx = _stem_fwd(g, wT, None, s, padding)
     else:
         dx = jax.lax.conv_general_dilated(
