@@ -560,7 +560,7 @@ def trunk_convt_supported(x, w, stride, padding, output_padding=0):
     co_max = int(_os.environ.get('SGAN_TPU_TRUNK_CONVT_CO_MAX', '256'))
     return (HEAD_MAX_CO < co <= co_max and ci >= 16 and kh == kw == 4
             and stride == 2 and padding == 1 and output_padding == 0
-            and x.shape[1] * x.shape[2] <= 256 * 256)
+            and 1 <= x.shape[1] * x.shape[2] <= 256 * 256)
 
 
 def _phase_taps(k, s, p):
