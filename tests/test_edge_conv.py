@@ -149,3 +149,41 @@ def test_mid_channel_shapes_not_dispatched():
     assert not e.stem_conv_supported(x, w, 1, 1)
     x, w, _ = _mk(16, 64, 32, 4)
     assert not e.head_convt_supported(x, w, 2, 1)
+
+
+# unet trunk k4s2 32->co via the stem dot form (round-3 trunk gate: the
+# 32->64 site runs 8.3 TF/s in-context under XLA's T(2,128) layout)
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (32, 32, 64, 4, 2, 1), (16, 16, 32, 4, 2, 1)])
+def test_trunk_conv(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    assert e.trunk_conv_supported(x, w, s, p)
+    _check(lambda x, w, b: e.stem_conv(x, w, b, s, p),
+           lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
+
+
+def test_trunk_conv_gates():
+    x, w, _ = _mk(32, 64, 128, 4)      # ci above the measured win region
+    assert not e.trunk_conv_supported(x, w, 2, 1)
+    x, w, _ = _mk(32, 32, 64, 3)       # only k4s2
+    assert not e.trunk_conv_supported(x, w, 1, 1)
+
+
+# unet decoder mid-channel convT via the dense phase-dot form
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (16, 64, 32, 4, 2, 1), (8, 128, 64, 4, 2, 1), (8, 32, 8, 4, 2, 1)])
+def test_trunk_convt(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    assert e.trunk_convt_supported(x, w, s, p)
+    _check(lambda x, w, b: e.head_convt(x, w, b, s, p),
+           lambda x, w, b: _xla_convt(x, w, b, s, p), x, w, b,
+           rtol=5e-5)
+
+
+def test_trunk_convt_gates():
+    x, w, _ = _mk(16, 64, 32, 4)
+    assert e.trunk_convt_supported(x, w, 2, 1)
+    assert not e.trunk_convt_supported(x, w, 2, 0)       # only p=1
+    x = jnp.zeros((1, 0, 0, 32), jnp.float32)            # empty spatial
+    w = jnp.zeros((4, 4, 32, 32), jnp.float32)
+    assert not e.trunk_convt_supported(x, w, 2, 1)
