@@ -46,6 +46,7 @@ import os
 
 _VMEM_BUDGET = 768 * 1024
 _USE_MOSAIC = os.environ.get('SGAN_TPU_PALLAS_IN', '') == '1'
+_OUT_BARRIER = os.environ.get('SGAN_TPU_IN_BARRIER', '0') == '1'
 
 
 def _kernel(x_ref, o_ref, *, eps, slope):
@@ -115,6 +116,12 @@ def _fwd(x, eps, slope):
     y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
     if slope is not None:
         y = jnp.where(y >= 0, y, y * jnp.asarray(slope, y.dtype))
+    if _OUT_BARRIER:
+        # pin the materialization point to the bf16 activated output:
+        # without it, layout assignment relayouts the f32 normalize
+        # intermediate into the consumer's (dot) layout BEFORE the
+        # downcast — f32 512^2 copies at 2x the bytes (round-3 trace)
+        y = lax.optimization_barrier(y)
     return y, (x, mean, inv)
 
 
