@@ -250,7 +250,12 @@ def main():
         'gates': {
             'edge_conv': {'head': conv_mod._EDGE_HEAD,
                           'stem': conv_mod._EDGE_STEM,
-                          'mid': conv_mod._EDGE_MID},
+                          'mid': conv_mod._EDGE_MID,
+                          'crn': conv_mod._EDGE_CRN,
+                          'trunk': conv_mod._EDGE_TRUNK,
+                          'trunk_ct': conv_mod._EDGE_TRUNK_CT},
+            'hct_mode': os.environ.get('SGAN_TPU_HCT', 'split'),
+            'mid_dw': os.environ.get('SGAN_TPU_MID_DW', '9dot'),
             'conv3_min_pixels': os.environ.get('SGAN_TPU_CONV3_MIN_PIXELS'),
             'conv3_pallas_bwd': os.environ.get('SGAN_TPU_CONV3_PALLAS_BWD',
                                                '0'),

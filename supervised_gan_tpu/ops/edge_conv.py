@@ -51,9 +51,11 @@ import os as _os
 # heads: dispatch when Co*4 <= Ci (measured win region); stems: Ci tiny
 HEAD_MAX_CO = 4
 STEM_MAX_CI = 8
-# convT-head forward form: 'dense' (one phase-major dot) | 'sum'
-# (per-phase tap sums — the round-2 original, kept for A/B)
-_HCT_MODE = _os.environ.get('SGAN_TPU_HCT', 'dense')
+# convT-head forward form: 'split' (one dot per row phase — the phase
+# interleave becomes a free reshape + a full-lane stack; A/B device
+# 35.39 -> 34.83 ms) | 'dense' (one phase-major dot + a 2-lane
+# transpose) | 'sum' (per-phase tap sums — the round-2 original)
+_HCT_MODE = _os.environ.get('SGAN_TPU_HCT', 'split')
 _MID_DW = _os.environ.get('SGAN_TPU_MID_DW', '9dot')
 
 
@@ -624,13 +626,36 @@ def _head_convt_fwd_dense(x, w, b, stride, padding):
                                else w[ky, kx])
             rows.append(row)
     w2 = jnp.block(rows)                         # (|D|^2*ci, s*s*co)
-    t = jax.lax.dot_general(
-        patches.reshape(n * O * OW, -1), w2.astype(x.dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    t = t.reshape(n, O, OW, s, s, co)
-    y = t.transpose(0, 1, 3, 2, 4, 5).reshape(n, s * O, s * OW, co)
-    y = y.astype(x.dtype)
+    pm = patches.reshape(n * O * OW, -1)
+    if _HCT_MODE == 'split':
+        # one dot PER ROW PHASE q (w2's column order is (q, r, co), so
+        # each q-block is a contiguous slice): the W-phase interleave
+        # becomes a free row-major reshape of (OW, r), and the H-phase
+        # interleave a stack along a fresh axis after O — a concat whose
+        # inner runs are s*OW*co contiguous elements (full lanes).  The
+        # single-dot form instead pays a true (q over OW) transpose with
+        # co-element inner runs — 2-lane relayouts at the co<=4 sites
+        # (profiled 1.3 ms/step, round-3 trace).  Extra cost: patches is
+        # read s times instead of once.
+        parts = []
+        for q in range(s):
+            w2q = w2[:, q * s * co:(q + 1) * s * co]
+            tq = jax.lax.dot_general(
+                pm, w2q.astype(x.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            parts.append(tq.reshape(n, O, OW, s, co)
+                         .astype(x.dtype)
+                         .reshape(n, O, s * OW, co))
+        y = jnp.stack(parts, axis=2).reshape(n, s * O, s * OW, co)
+    else:
+        t = jax.lax.dot_general(
+            pm, w2.astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t = t.reshape(n, O, OW, s, s, co)
+        y = t.transpose(0, 1, 3, 2, 4, 5).reshape(n, s * O, s * OW, co)
+        y = y.astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -740,12 +765,26 @@ def _head_convt_vjp_bwd(stride, padding, res, g):
         for bb in ds:
             cols.append(xp[:, pt + a:pt + a + O, pt + bb:pt + bb + OW, :])
     patches = jnp.concatenate(cols, axis=-1)     # (n, O, OW, |D|^2*ci)
-    tg = g.reshape(n, O, s, OW, s, co).transpose(0, 1, 3, 2, 4, 5)
-    dW2 = jax.lax.dot_general(
-        patches.reshape(n * O * OW, -1),
-        tg.reshape(n * O * OW, s * s * co),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)      # (|D|^2*ci, s*s*co)
+    pm = patches.reshape(n * O * OW, -1)
+    if _HCT_MODE == 'split':
+        # mirror of the forward's split-by-row-phase: gq = every s-th
+        # OUTPUT ROW of g (contiguous full-row runs), its (OW, r) merge
+        # is free, and the per-q dots write contiguous column blocks of
+        # dW2 — no (q over OW) de-interleave transpose of the cotangent.
+        g6 = g.reshape(n, O, s, OW * s * co)
+        dparts = []
+        for q in range(s):
+            gq = g6[:, :, q, :].reshape(n * O * OW, s * co)
+            dparts.append(jax.lax.dot_general(
+                pm, gq, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dW2 = jnp.concatenate(dparts, axis=-1)   # (|D|^2*ci, s*s*co)
+    else:
+        tg = g.reshape(n, O, s, OW, s, co).transpose(0, 1, 3, 2, 4, 5)
+        dW2 = jax.lax.dot_general(
+            pm, tg.reshape(n * O * OW, s * s * co),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (|D|^2*ci, s*s*co)
     dmap = {}
     for q in range(s):
         for ky, d in taps[q]:

@@ -140,3 +140,19 @@ def test_conv2d_bf16_accumulates_f32():
     assert ybf.dtype == jnp.bfloat16
     err = np.abs(np.asarray(y32) - np.asarray(ybf, dtype=np.float32)).max()
     assert err < 0.35, err
+
+
+def test_cat_channels_keeps_generated_dtype():
+    """cat_channels must cast the conditioning side to the generated
+    side's dtype instead of letting jnp.concatenate promote the pair to
+    f32 (the promotion made the D-stem backward carry an f32 cotangent
+    through the un-space-to-depth relayout — BENCH_NOTES round 3)."""
+    from supervised_gan_tpu.models.common import cat_channels
+    a = jnp.ones((1, 4, 4, 3), jnp.float32)
+    b = jnp.full((1, 4, 4, 2), 0.5, jnp.bfloat16)
+    y = cat_channels(a, b)
+    assert y.dtype == jnp.bfloat16
+    assert y.shape == (1, 4, 4, 5)
+    # f32 pair stays f32 (the real/real pair path)
+    y2 = cat_channels(a, a)
+    assert y2.dtype == jnp.float32
