@@ -11,6 +11,8 @@ G loss (reference :202-245):
 
 from collections import OrderedDict
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -21,7 +23,13 @@ from .common import (build_gan_train_step, bank_apply, g_apply,
 from .pools import init_pool, pool_query
 from .. import nn
 from ..nn.losses import gan_loss, weighted_l1_loss, bce_loss
+from ..ops.edge_conv import space_to_phase, phase_to_space
 from ..utils.images import tensor2im
+
+# Same trick as models/twostage_cycle.py: the reconstructor (G2) outputs
+# feed only elementwise BCE losses, so they stay phase-major and the
+# gradient-free targets are space_to_phase'd instead.
+_PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '1') == '1'
 
 
 class CGAN2CycleModel(TwoGroupModel):
@@ -117,6 +125,10 @@ class CGAN2CycleModel(TwoGroupModel):
         def ctx(fkey=None):
             return nn.Ctx(fkey, compute_dtype=cd)
 
+        from ..nn.generators import UnetGenerator
+        phase = _PHASE_F2 and isinstance(netG2, UnetGenerator)
+        self._phase_f2 = phase
+
         def forward(params, inputs, noises, fkey):
             fk = [jax.random.fold_in(fkey, i) for i in range(5)]
             f_real = g_apply(netG1, params['G1'], ctx(fk[0]), x=inputs['A'],
@@ -124,11 +136,12 @@ class CGAN2CycleModel(TwoGroupModel):
             f_fake = g_apply(netG1, params['G1'], ctx(fk[1]),
                              x=inputs['fake_A'], noise=noises['noise1'])
             a_from_b = g_apply(netG2, params['G2'], ctx(fk[2]),
-                               x=inputs['B'], noise=noises['noise2'])
+                               x=inputs['B'], noise=noises['noise2'],
+                               phase_out=phase)
             recon_real = g_apply(netG2, params['G2'], ctx(fk[3]), x=f_real,
-                                 noise=noises['noise2'])
+                                 noise=noises['noise2'], phase_out=phase)
             recon_fake = g_apply(netG2, params['G2'], ctx(fk[4]), x=f_fake,
-                                 noise=noises['noise2'])
+                                 noise=noises['noise2'], phase_out=phase)
             return {'fake_B_from_real_A': f_real,
                     'fake_B_from_fake_A': f_fake,
                     'fake_A_from_real_B': a_from_b,
@@ -175,12 +188,15 @@ class CGAN2CycleModel(TwoGroupModel):
                 l1 = weighted_l1_loss(taps['fake_B_from_real_A'], real_B, w)
             else:
                 l1 = 0.0
+            ra = space_to_phase(real_A, 2) if phase else real_A
+            fa = (space_to_phase(inputs['fake_A'], 2) if phase
+                  else inputs['fake_A'])
             ce = bce_loss((taps['fake_A_from_real_B'] + 1) / 2,
-                          (real_A + 1) / 2)
+                          (ra + 1) / 2)
             real_cycle = bce_loss((taps['recon_real_A'] + 1) / 2,
-                                  (real_A + 1) / 2)
+                                  (ra + 1) / 2)
             fake_cycle = bce_loss((taps['recon_fake_A'] + 1) / 2,
-                                  (inputs['fake_A'] + 1) / 2)
+                                  (fa + 1) / 2)
             total = (gan + l1 * opt.lambda_A + ce * opt.lambda_B
                      + real_cycle * opt.lambda_A_cycle
                      + fake_cycle * opt.lambda_A_cycle * opt.lambda_fake_cycle)
@@ -233,15 +249,17 @@ class CGAN2CycleModel(TwoGroupModel):
     def get_current_visuals(self, save_as_single_image=False):
         if self.isTrain:
             t = self._taps
+            f2 = ((lambda y: phase_to_space(y, 2))
+                  if getattr(self, '_phase_f2', False) else (lambda y: y))
             return OrderedDict([
                 ('real_A', tensor2im(self.real_A)),
                 ('fake_B_real_A', tensor2im(t['fake_B_from_real_A'])),
                 ('fake_A', tensor2im(self.fake_A)),
                 ('fake_B_fake_A', tensor2im(t['fake_B_from_fake_A'])),
-                ('fake_A_real_B', tensor2im(t['fake_A_from_real_B'])),
+                ('fake_A_real_B', tensor2im(f2(t['fake_A_from_real_B']))),
                 ('real_B', tensor2im(self.real_B)),
-                ('recon_real_A', tensor2im(t['recon_real_A'])),
-                ('recon_fake_A', tensor2im(t['recon_fake_A']))])
+                ('recon_real_A', tensor2im(f2(t['recon_real_A']))),
+                ('recon_fake_A', tensor2im(f2(t['recon_fake_A'])))])
         if save_as_single_image:
             ab = jnp.concatenate([self.real_A, self.fake_B_from_real_A], -1)
             return OrderedDict([('AB', tensor2im(ab))])

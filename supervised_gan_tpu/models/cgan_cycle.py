@@ -12,6 +12,7 @@ forward on resample.  The published recipes use n_update 1/2 where the
 difference only affects which noise2 feeds the CE term on repeats.
 """
 
+import os
 from collections import OrderedDict
 
 import jax
@@ -24,7 +25,13 @@ from .common import (build_gan_train_step, bank_apply, g_apply,
 from .pools import init_pool, pool_query
 from .. import nn
 from ..nn.losses import gan_loss, weighted_l1_loss, bce_loss
+from ..ops.edge_conv import space_to_phase, phase_to_space
 from ..utils.images import tensor2im
+
+# Same trick as models/twostage_cycle.py: the reconstructor (G2) outputs
+# feed only elementwise BCE losses, so they stay phase-major and the
+# gradient-free targets are space_to_phase'd instead.
+_PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '1') == '1'
 
 
 class CGANCycleModel(TwoGroupModel):
@@ -113,14 +120,18 @@ class CGANCycleModel(TwoGroupModel):
         def ctx(fkey=None):
             return nn.Ctx(fkey, compute_dtype=cd)
 
+        from ..nn.generators import UnetGenerator
+        phase = _PHASE_F2 and isinstance(netG2, UnetGenerator)
+        self._phase_f2 = phase
+
         def forward(params, inputs, noises, fkey):
             fk = [jax.random.fold_in(fkey, i) for i in range(3)]
             fake_B = g_apply(netG1, params['G1'], ctx(fk[0]), x=inputs['A'],
                              noise=noises['noise1'])
             fake_A = g_apply(netG2, params['G2'], ctx(fk[1]), x=inputs['B'],
-                             noise=noises['noise2'])
+                             noise=noises['noise2'], phase_out=phase)
             recon_A = g_apply(netG2, params['G2'], ctx(fk[2]), x=fake_B,
-                              noise=noises['noise2'])
+                              noise=noises['noise2'], phase_out=phase)
             return {'fake_B': fake_B, 'fake_A': fake_A, 'recon_A': recon_A}
 
         def cat_pair(a, b):
@@ -153,8 +164,9 @@ class CGANCycleModel(TwoGroupModel):
             w = l1_weight_map(real_A, opt.weights, opt.fineSize,
                               opt.batchSize)
             l1 = weighted_l1_loss(taps['fake_B'], real_B, w)
-            ce = bce_loss((taps['fake_A'] + 1) / 2, (real_A + 1) / 2)
-            cyc = bce_loss((taps['recon_A'] + 1) / 2, (real_A + 1) / 2)
+            ra = space_to_phase(real_A, 2) if phase else real_A
+            ce = bce_loss((taps['fake_A'] + 1) / 2, (ra + 1) / 2)
+            cyc = bce_loss((taps['recon_A'] + 1) / 2, (ra + 1) / 2)
             total = (gan + l1 * opt.lambda_A + ce * opt.lambda_B
                      + cyc * opt.lambda_A_cycle)
             return total, {'G1': total, 'G2': cyc}
@@ -202,10 +214,12 @@ class CGANCycleModel(TwoGroupModel):
     def get_current_visuals(self, save_as_single_image=False):
         if self.isTrain:
             t = self._taps
+            f2 = ((lambda y: phase_to_space(y, 2))
+                  if getattr(self, '_phase_f2', False) else (lambda y: y))
             return OrderedDict([('real_A', tensor2im(self.real_A)),
                                 ('real_B', tensor2im(self.real_B)),
                                 ('fake_B', tensor2im(t['fake_B'])),
-                                ('recon_A', tensor2im(t['recon_A']))])
+                                ('recon_A', tensor2im(f2(t['recon_A'])))])
         if save_as_single_image:
             ab = jnp.concatenate([self.real_A, self.fake_B], -1)
             return OrderedDict([('AB', tensor2im(ab))])

@@ -40,16 +40,24 @@ import jax.numpy as jnp
 from .base import apply_adam
 
 
-def g_apply(net, params, ctx, x=None, noise=None, activation='tanh'):
+def g_apply(net, params, ctx, x=None, noise=None, activation='tanh',
+            phase_out=False):
     """Uniform generator invocation across zoo signatures: fcgan/dcgan take
     only noise; CRN takes (label, noise); unet/resnet/autoencoder take x and
-    ignore noise (reference models/networks.py:362-367,535,711)."""
+    ignore noise (reference models/networks.py:362-367,535,711).
+
+    ``phase_out=True`` (UnetGenerator only) returns the output in
+    phase-major layout — space_to_phase(pixel output, head stride); see
+    nn/generators.UnetGenerator.apply."""
     from ..nn.generators import (FCGANGenerator, FCGANGeneratorStar,
                                  DCGANGenerator, CascadedRefinementNetwork)
     if isinstance(net, (FCGANGenerator, FCGANGeneratorStar, DCGANGenerator)):
         return net.apply(params, noise, ctx, activation=activation)
     if isinstance(net, CascadedRefinementNetwork):
         return net.apply(params, x, noise, ctx, activation=activation)
+    if phase_out:
+        return net.apply(params, x, ctx, noise=noise, activation=activation,
+                         phase_out=True)
     return net.apply(params, x, ctx, noise=noise, activation=activation)
 
 
@@ -130,18 +138,19 @@ def bank_apply_multi(netDs, paramsD, xs, ctx_factory):
     return [[o[j * b:(j + 1) * b] for o in outs] for j in range(n)]
 
 
-def g_apply_multi(net, params, ctx, xs, noise=None, activation='tanh'):
+def g_apply_multi(net, params, ctx, xs, noise=None, activation='tanh',
+                  phase_out=False):
     """Run a (per-sample-normalized) generator once on batch-stacked inputs;
     returns the per-input outputs.  noise is tiled along batch."""
     n = len(xs)
     if n == 1:
         return [g_apply(net, params, ctx, x=xs[0], noise=noise,
-                        activation=activation)]
+                        activation=activation, phase_out=phase_out)]
     b = xs[0].shape[0]
     stacked = jnp.concatenate(xs, 0)
     noise_n = None if noise is None else jnp.concatenate([noise] * n, 0)
     out = g_apply(net, params, ctx, x=stacked, noise=noise_n,
-                  activation=activation)
+                  activation=activation, phase_out=phase_out)
     return [out[j * b:(j + 1) * b] for j in range(n)]
 
 

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import os
+
 from .two_group import TwoGroupModel
 from .base import adam_transform
 from .common import (build_gan_train_step, bank_apply, bank_apply_multi,
@@ -29,7 +31,15 @@ from .common import (build_gan_train_step, bank_apply, bank_apply_multi,
 from .pools import init_pool, pool_query, pool_sample, pool_fill
 from .. import nn
 from ..nn.losses import gan_loss, gan_loss_multiclass, weighted_l1_loss, bce_loss
+from ..ops.edge_conv import space_to_phase, phase_to_space
 from ..utils.images import tensor2im
+
+# Keep the F2 cycle outputs phase-major inside the train step: their only
+# consumers are elementwise BCE losses, so the co=2 pixel interleave (fwd)
+# and cotangent space-to-depth (bwd) are pure formatting — the gradient-free
+# loss TARGETS are space_to_phase'd instead (round-3 trace: ~2 ms/step of
+# 2-lane relayouts at the 512px heads).  SGAN_TPU_PHASE_F2=0 reverts.
+_PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '1') == '1'
 
 
 class TwoStageCycleModel(TwoGroupModel):
@@ -187,9 +197,13 @@ class TwoStageCycleModel(TwoGroupModel):
         # would mix statistics).  Measured on v5e it is ~4.5% SLOWER
         # (spatial positions already fill the MXU rows; see BENCH_NOTES),
         # so it is opt-in via SGAN_TPU_BATCH_PASSES=1.
-        import os
         can_batch = (opt.norm == 'instance'
                      and os.environ.get('SGAN_TPU_BATCH_PASSES', '') == '1')
+        # phase-major F2 outputs (see _PHASE_F2 above); the Unet head
+        # stride is 2, so phase tensors are (H/2, W/2, 4*input_nc)
+        from ..nn.generators import UnetGenerator
+        phase = _PHASE_F2 and isinstance(self.netF2, UnetGenerator)
+        self._phase_f2 = phase
 
         def forward(params, inputs, noises, fkey):
             fk = [jax.random.fold_in(fkey, i) for i in range(8)]
@@ -206,7 +220,7 @@ class TwoStageCycleModel(TwoGroupModel):
                  recon_fake_A) = g_apply_multi(
                     netF2, params['F2'], ctx(fk[1]),
                     [inputs['B'], fake_B_from_real_A, fake_B_from_fake_A],
-                    noise=noises['noise2'])
+                    noise=noises['noise2'], phase_out=phase)
                 return {'fake_A': fake_A,
                         'fake_A_from_real_B': fake_A_from_real_B,
                         'fake_B_from_real_A': fake_B_from_real_A,
@@ -214,17 +228,18 @@ class TwoStageCycleModel(TwoGroupModel):
                         'recon_real_A': recon_real_A,
                         'recon_fake_A': recon_fake_A}
             fake_A_from_real_B = g_apply(netF2, params['F2'], ctx(fk[1]),
-                                         x=inputs['B'], noise=noises['noise2'])
+                                         x=inputs['B'], noise=noises['noise2'],
+                                         phase_out=phase)
             fake_B_from_real_A = g_apply(netG2, params['G2'], ctx(fk[2]),
                                          x=inputs['A'], noise=noises['noise2'])
             fake_B_from_fake_A = g_apply(netG2, params['G2'], ctx(fk[3]),
                                          x=x_in, noise=noises['noise2'])
             recon_real_A = g_apply(netF2, params['F2'], ctx(fk[4]),
                                    x=fake_B_from_real_A,
-                                   noise=noises['noise2'])
+                                   noise=noises['noise2'], phase_out=phase)
             recon_fake_A = g_apply(netF2, params['F2'], ctx(fk[5]),
                                    x=fake_B_from_fake_A,
-                                   noise=noises['noise2'])
+                                   noise=noises['noise2'], phase_out=phase)
             return {'fake_A': fake_A,
                     'fake_A_from_real_B': fake_A_from_real_B,
                     'fake_B_from_real_A': fake_B_from_real_A,
@@ -361,13 +376,19 @@ class TwoStageCycleModel(TwoGroupModel):
             else:
                 l1 = 0.0
 
+            # with phase-major F2 outputs, space_to_phase the (gradient-
+            # free) targets instead: BCE is an elementwise mean, so the
+            # permutation leaves value and gradients identical
+            ra = space_to_phase(real_A, 2) if phase else real_A
+            fa_t = lax.stop_gradient(transform(taps['fake_A']))
+            if phase:
+                fa_t = space_to_phase(fa_t, 2)
             ce = bce_loss((taps['fake_A_from_real_B'] + 1) / 2,
-                          (real_A + 1) / 2)
+                          (ra + 1) / 2)
             real_cycle = bce_loss((taps['recon_real_A'] + 1) / 2,
-                                  (real_A + 1) / 2)
-            fake_cycle = bce_loss(
-                (taps['recon_fake_A'] + 1) / 2,
-                (lax.stop_gradient(transform(taps['fake_A'])) + 1) / 2)
+                                  (ra + 1) / 2)
+            fake_cycle = bce_loss((taps['recon_fake_A'] + 1) / 2,
+                                  (fa_t + 1) / 2)
 
             total = (g1 + g2 / max(num_pairs, 1)
                      + l1 * opt.lambda_A
@@ -430,15 +451,17 @@ class TwoStageCycleModel(TwoGroupModel):
     def get_current_visuals(self, save_as_single_image=False):
         if self.isTrain:
             t = self._taps
+            f2 = ((lambda y: phase_to_space(y, 2))
+                  if getattr(self, '_phase_f2', False) else (lambda y: y))
             return OrderedDict([
                 ('real_A', tensor2im(self.real_A)),
                 ('fake_B_real_A', tensor2im(t['fake_B_from_real_A'])),
                 ('fake_A', tensor2im(self.transform(t['fake_A']))),
                 ('fake_B_fake_A', tensor2im(t['fake_B_from_fake_A'])),
-                ('fake_A_real_B', tensor2im(t['fake_A_from_real_B'])),
+                ('fake_A_real_B', tensor2im(f2(t['fake_A_from_real_B']))),
                 ('real_B', tensor2im(self.real_B)),
-                ('recon_real_A', tensor2im(t['recon_real_A'])),
-                ('recon_fake_A', tensor2im(t['recon_fake_A']))])
+                ('recon_real_A', tensor2im(f2(t['recon_real_A']))),
+                ('recon_fake_A', tensor2im(f2(t['recon_fake_A'])))])
         if save_as_single_image:
             ab = jnp.concatenate([self.transform(self.fake_A),
                                   self.fake_B_from_fake_A], -1)

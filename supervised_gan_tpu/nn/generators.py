@@ -210,9 +210,35 @@ class UnetGenerator(Layer):
     def init(self, key):
         return {"model": self.model.init(key)}
 
-    def apply(self, params, x, ctx, noise=None, activation='tanh'):
-        y = self.model.apply(params["model"], x, ctx)
-        return activate(x + y if self.use_residual else y, activation)
+    def apply(self, params, x, ctx, noise=None, activation='tanh',
+              phase_out=False):
+        if not phase_out:
+            y = self.model.apply(params["model"], x, ctx)
+            return activate(x + y if self.use_residual else y, activation)
+        # Phase-major output: space_to_phase(pixel output, stride) — same
+        # elements, (q, r, co) lane order.  When every consumer is an
+        # elementwise loss this removes the co<=4 pixel interleave in the
+        # forward AND the matching space-to-depth of the cotangent in the
+        # backward (~2 ms/step at 512px on the DSGAN bench, round-3 trace);
+        # callers space_to_phase the gradient-free loss targets instead.
+        from ..ops import edge_conv as ec
+        layers = self.model.layers
+        head = layers[-1]
+        h = Sequential(*layers[:-1]).apply(params["model"], x, ctx)
+        s = head.stride
+        hp = params["model"].get(str(len(layers) - 1), {})
+        if not self.use_residual:
+            w, b = hp["weight"], hp.get("bias")
+            hc = h
+            if ctx.compute_dtype is not None:
+                hc = h.astype(ctx.compute_dtype)
+                w = w.astype(ctx.compute_dtype)
+            if ec.head_convt_supported(hc, w, s, head.padding):
+                y = ec.head_convt_phase(hc, w, b, s, head.padding)
+                return activate(y, activation)
+        y = head.apply(hp, h, ctx)
+        y = activate(x + y if self.use_residual else y, activation)
+        return ec.space_to_phase(y, s)
 
 
 class CrnUpsampleBlock(Layer):

@@ -580,6 +580,90 @@ def _phase_taps(k, s, p):
     return taps
 
 
+def space_to_phase(x, s):
+    """Pixel NHWC -> phase-major (n, H/s, W/s, s*s*c), lane order (q, r, c)
+    — the inverse of the convT phase interleave and the same block order as
+    _im2col_s2d's space-to-depth."""
+    n, h, w, c = x.shape
+    x6 = x.reshape(n, h // s, s, w // s, s, c)
+    return x6.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // s, w // s,
+                                                  s * s * c)
+
+
+def phase_to_space(y, s):
+    """Inverse of space_to_phase."""
+    n, oh, ow, sc = y.shape
+    c = sc // (s * s)
+    y6 = y.reshape(n, oh, ow, s, s, c)
+    return y6.transpose(0, 1, 3, 2, 4, 5).reshape(n, oh * s, ow * s, c)
+
+
+def _convt_geometry(k, s, padding, h, wd):
+    """Shared geometry of the dense convT forms: tap table, per-phase output
+    size, sorted tap offsets and the symmetric x padding."""
+    taps = _phase_taps(k, s, padding)
+    O = h - 1 + (k - 2 * padding) // s
+    OW = wd - 1 + (k - 2 * padding) // s
+    ds = sorted({d for lst in taps for (_, d) in lst})
+    pt = max(0, -ds[0])
+    pb = max(0, max(O, OW) - 1 + ds[-1] - (min(h, wd) - 1))
+    return taps, O, OW, ds, pt, pb
+
+
+def _convt_patches(x, ds, pt, pb, O, OW):
+    """(n, O, OW, |D|^2*ci) shifted contiguous slices of the padded input."""
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pt, pb), (0, 0)))
+    cols = []
+    for a in ds:
+        for bb in ds:
+            cols.append(xp[:, pt + a:pt + a + O, pt + bb:pt + bb + OW, :])
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _convt_w2(w, taps, ds, s):
+    """(shift, phase) block matrix (|D|^2*ci, s*s*co): block (a, bb) x
+    (q, r) holds w[ky, kx] when the tap tables place (ky, kx) there."""
+    ci, co = w.shape[2], w.shape[3]
+    zz = jnp.zeros((ci, co), w.dtype)
+    kymap = {q: {d: ky for ky, d in taps[q]} for q in range(s)}
+    rows = []
+    for a in ds:
+        for bb in ds:
+            row = []
+            for q in range(s):
+                for r in range(s):
+                    ky = kymap[q].get(a)
+                    kx = kymap[r].get(bb)
+                    row.append(zz if ky is None or kx is None
+                               else w[ky, kx])
+            rows.append(row)
+    return jnp.block(rows)
+
+
+def _dw2_to_w(dW2, taps, ds, k, s, ci, co, dtype):
+    """Extract the (k, k, ci, co) kernel gradient from the dense-form
+    dW2 = patches^T @ g (16 tiny slices of the (|D|^2*ci, s*s*co) result)."""
+    dmap = {}
+    for q in range(s):
+        for ky, d in taps[q]:
+            dmap[ky] = (q, d)
+    didx = {d: i for i, d in enumerate(ds)}
+    nd = len(ds)
+    rows = []
+    for ky in range(k):
+        qy, dy = dmap[ky]
+        ai = didx[dy]
+        row = []
+        for kx in range(k):
+            qx, dx2 = dmap[kx]
+            bi = didx[dx2]
+            blk = dW2[(ai * nd + bi) * ci:(ai * nd + bi + 1) * ci,
+                      (qy * s + qx) * co:(qy * s + qx + 1) * co]
+            row.append(blk)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows).astype(dtype)
+
+
 def _head_convt_fwd_dense(x, w, b, stride, padding):
     """Tiny-Co ConvTranspose as ONE dense dot straight to phase-major
     channels.
@@ -598,34 +682,10 @@ def _head_convt_fwd_dense(x, w, b, stride, padding):
     ci, co = w.shape[2], w.shape[3]
     n, h, wd, _ = x.shape
     s = stride
-    taps = _phase_taps(k, s, padding)
-    O = h - 1 + (k - 2 * padding) // s
-    OW = wd - 1 + (k - 2 * padding) // s
-    ds = sorted({d for lst in taps for (_, d) in lst})
-    d0 = ds[0]
-    pt = max(0, -d0)
-    pb = max(0, max(O, OW) - 1 + ds[-1] - (min(h, wd) - 1))
-    xp = jnp.pad(x, ((0, 0), (pt, pb), (pt, pb), (0, 0)))
-    cols = []
-    for a in ds:
-        for bb in ds:
-            cols.append(xp[:, pt + a:pt + a + O, pt + bb:pt + bb + OW, :])
-    patches = jnp.concatenate(cols, axis=-1)     # (n, O, OW, |D|^2*ci)
+    taps, O, OW, ds, pt, pb = _convt_geometry(k, s, padding, h, wd)
+    patches = _convt_patches(x, ds, pt, pb, O, OW)   # (n, O, OW, |D|^2*ci)
     # (shift, phase) block matrix; at most one (ky, kx) lands per cell
-    zz = jnp.zeros((ci, co), w.dtype)
-    kymap = {q: {d: ky for ky, d in taps[q]} for q in range(s)}
-    rows = []
-    for a in ds:
-        for bb in ds:
-            row = []
-            for q in range(s):
-                for r in range(s):
-                    ky = kymap[q].get(a)
-                    kx = kymap[r].get(bb)
-                    row.append(zz if ky is None or kx is None
-                               else w[ky, kx])
-            rows.append(row)
-    w2 = jnp.block(rows)                         # (|D|^2*ci, s*s*co)
+    w2 = _convt_w2(w, taps, ds, s)               # (|D|^2*ci, s*s*co)
     pm = patches.reshape(n * O * OW, -1)
     if _HCT_MODE == 'split':
         # one dot PER ROW PHASE q (w2's column order is (q, r, co), so
@@ -753,18 +813,8 @@ def _head_convt_vjp_bwd(stride, padding, res, g):
     # lane granularity — profiled 3 x 0.57 ms/step of 2-lane loop
     # fusions on the DSGAN bench (round-3 trace); here the cotangent is
     # consumed whole as the dot's N dimension.
-    taps = _phase_taps(k, s, padding)
-    O = h - 1 + (k - 2 * padding) // s
-    OW = wd - 1 + (k - 2 * padding) // s
-    ds = sorted({d for lst in taps for (_, d) in lst})
-    pt = max(0, -ds[0])
-    pb = max(0, max(O, OW) - 1 + ds[-1] - (min(h, wd) - 1))
-    xp = jnp.pad(x, ((0, 0), (pt, pb), (pt, pb), (0, 0)))
-    cols = []
-    for a in ds:
-        for bb in ds:
-            cols.append(xp[:, pt + a:pt + a + O, pt + bb:pt + bb + OW, :])
-    patches = jnp.concatenate(cols, axis=-1)     # (n, O, OW, |D|^2*ci)
+    taps, O, OW, ds, pt, pb = _convt_geometry(k, s, padding, h, wd)
+    patches = _convt_patches(x, ds, pt, pb, O, OW)   # (n, O, OW, |D|^2*ci)
     pm = patches.reshape(n * O * OW, -1)
     if _HCT_MODE == 'split':
         # mirror of the forward's split-by-row-phase: gq = every s-th
@@ -785,26 +835,106 @@ def _head_convt_vjp_bwd(stride, padding, res, g):
             pm, tg.reshape(n * O * OW, s * s * co),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (|D|^2*ci, s*s*co)
-    dmap = {}
-    for q in range(s):
-        for ky, d in taps[q]:
-            dmap[ky] = (q, d)
-    didx = {d: i for i, d in enumerate(ds)}
-    nd = len(ds)
-    rows = []
-    for ky in range(k):
-        qy, dy = dmap[ky]
-        ai = didx[dy]
-        row = []
-        for kx in range(k):
-            qx, dx2 = dmap[kx]
-            bi = didx[dx2]
-            blk = dW2[(ai * nd + bi) * ci:(ai * nd + bi + 1) * ci,
-                      (qy * s + qx) * co:(qy * s + qx + 1) * co]
-            row.append(blk)
-        rows.append(jnp.stack(row))
-    dw = jnp.stack(rows).astype(w.dtype)         # (k, k, ci, co)
+    dw = _dw2_to_w(dW2, taps, ds, k, s, ci, co, w.dtype)
     return dx.astype(x.dtype), dw, db
 
 
 head_convt.defvjp(_head_convt_vjp_fwd, _head_convt_vjp_bwd)
+
+
+# -------------------------------------------- phase-major convT outputs
+
+def _head_convt_phase_fwd(x, w, b, stride, padding):
+    """head_convt that RETURNS the phase-major tensor — the dense form's
+    natural dot output (n, O, OW, s*s*co), lane order (q, r, co) — without
+    ever interleaving to pixel space.
+
+    space_to_phase(head_convt(x, w, b)) == head_convt_phase(x, w, b)
+    bit-for-bit in f32.  Motivation (round-3 trace): when every consumer of
+    a co<=4 convT output is an elementwise loss (the F2 cycle heads of the
+    DSGAN recipe, reference twostage_cycle_model.py:381-388), the pixel
+    interleave in the forward and the matching space-to-depth of the
+    cotangent in the backward are pure formatting on 2-lane tensors
+    (~2 ms/step at 512px); keeping the tensor phase-major and
+    space-to-depth'ing the gradient-free loss TARGET instead removes both.
+    """
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    s = stride
+    taps, O, OW, ds, pt, pb = _convt_geometry(k, s, padding, h, wd)
+    patches = _convt_patches(x, ds, pt, pb, O, OW)
+    w2 = _convt_w2(w, taps, ds, s)
+    t = jax.lax.dot_general(
+        patches.reshape(n * O * OW, -1), w2.astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = t.reshape(n, O, OW, s * s * co).astype(x.dtype)
+    if b is not None:
+        y = y + jnp.tile(b, s * s).astype(y.dtype)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def head_convt_phase(x, w, b, stride, padding):
+    """Tiny-Co ConvTranspose returning phase-major output (see
+    _head_convt_phase_fwd); callers gate on head_convt_supported and
+    consume the (q, r, co)-ordered lanes with space_to_phase'd peers."""
+    return _head_convt_phase_fwd(x, w, b, stride, padding)
+
+
+def _head_convt_phase_vjp_fwd(x, w, b, stride, padding):
+    return _head_convt_phase_fwd(x, w, b, stride, padding), (x, w, b is not None)
+
+
+def _head_convt_phase_vjp_bwd(stride, padding, res, g):
+    """All three grads consume the PHASE-MAJOR cotangent directly — no
+    de-interleave anywhere: db folds the phase copies of each co lane,
+    dW2 is one patches^T @ g dot, and dx mirrors the forward (shifted
+    contiguous slices of g against the transposed block matrix)."""
+    x, w, has_b = res
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    s = stride
+    taps, O, OW, ds, pt, pb = _convt_geometry(k, s, padding, h, wd)
+    if has_b:
+        db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32)
+        db = db.reshape(s * s, co).sum(0)
+    else:
+        db = None
+    g = g.astype(x.dtype)
+    gm = g.reshape(n * O * OW, s * s * co)
+    # dw: ONE (M, |D|^2*ci) x (M, s*s*co) dot, then the 16-slice extraction
+    patches = _convt_patches(x, ds, pt, pb, O, OW)
+    dW2 = jax.lax.dot_general(
+        patches.reshape(n * O * OW, -1), gm,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw = _dw2_to_w(dW2, taps, ds, k, s, ci, co, w.dtype)
+    # dx[j] = sum_{(a,bb)} g[j - (a,bb)] @ W[(a,bb)]^T — the mirror of the
+    # forward's patches form: |D|^2 shifted contiguous slices of the padded
+    # phase cotangent, one dense dot against the transposed block matrix
+    w2 = _convt_w2(w, taps, ds, s).astype(g.dtype)
+    nd = len(ds)
+    lo = max(0, ds[-1])
+    hi_h = max(0, (h - 1 - ds[0]) - (O - 1))
+    hi_w = max(0, (wd - 1 - ds[0]) - (OW - 1))
+    gp = jnp.pad(g, ((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)))
+    gcols = []
+    wrows = []
+    for i, a in enumerate(ds):
+        for j, bb in enumerate(ds):
+            gcols.append(gp[:, lo - a:lo - a + h, lo - bb:lo - bb + wd, :])
+            wrows.append(w2[(i * nd + j) * ci:(i * nd + j + 1) * ci, :].T)
+    gpat = jnp.concatenate(gcols, axis=-1)       # (n, h, wd, |D|^2*s*s*co)
+    wD = jnp.concatenate(wrows, axis=0)          # (|D|^2*s*s*co, ci)
+    dx = jax.lax.dot_general(
+        gpat.reshape(n * h * wd, -1), wD,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx = dx.reshape(n, h, wd, ci).astype(x.dtype)
+    return dx, dw, db
+
+
+head_convt_phase.defvjp(_head_convt_phase_vjp_fwd, _head_convt_phase_vjp_bwd)

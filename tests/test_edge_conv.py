@@ -84,6 +84,33 @@ def test_head_convt(H, Ci, Co, k, s, p):
            lambda x, w, b: _xla_convt(x, w, b, s, p), x, w, b)
 
 
+# phase-major convT: head_convt_phase == space_to_phase(convT) with all
+# three grads taken through the phase-major cotangent (the F2 cycle heads
+# of the DSGAN recipe keep their output phase-major; the loss targets are
+# space_to_phase'd instead)
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (16, 64, 2, 4, 2, 1), (16, 32, 1, 4, 2, 1), (16, 64, 4, 4, 2, 2),
+    (8, 16, 2, 2, 2, 0)])
+def test_head_convt_phase(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    assert e.head_convt_supported(x, w, s, p)
+    _check(lambda x, w, b: e.head_convt_phase(x, w, b, s, p),
+           lambda x, w, b: e.space_to_phase(_xla_convt(x, w, b, s, p), s),
+           x, w, b)
+
+
+def test_phase_space_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 12, 3))
+    y = e.space_to_phase(x, 2)
+    assert y.shape == (2, 4, 6, 12)
+    np.testing.assert_array_equal(np.asarray(e.phase_to_space(y, 2)),
+                                  np.asarray(x))
+    # lane order is (q, r, c): lanes (q*s + r)*c +: c of block (i, j)
+    # hold pixel (s*i + q, s*j + r)
+    np.testing.assert_array_equal(np.asarray(y[0, 1, 2, 6:9]),
+                                  np.asarray(x[0, 3, 4, :]))
+
+
 @pytest.mark.parametrize("H,Ci,Co,k,s,p", [(128, 64, 64, 3, 1, 1)])
 def test_mid_conv(H, Ci, Co, k, s, p):
     x, w, b = _mk(H, Ci, Co, k)

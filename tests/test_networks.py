@@ -93,6 +93,98 @@ def test_unet256_params():
     assert y.shape == (1, 256, 256, 1)
 
 
+def test_unet_phase_out():
+    # phase_out=True returns space_to_phase(pixel output, 2): same
+    # elements, (q, r, co) lane order — value AND parameter gradients of
+    # an elementwise loss (vs the space_to_phase'd target) must match the
+    # pixel-space formulation (models/twostage_cycle.py uses this for the
+    # F2 cycle heads)
+    from supervised_gan_tpu.ops.edge_conv import space_to_phase
+    net, params = build_g(1, 2, 32, 'unet_128', 'instance', False,
+                          noise_nc=8)
+    x = jax.random.normal(KEY, (1, 128, 128, 1))
+    t = jax.random.normal(jax.random.fold_in(KEY, 1), (1, 128, 128, 2))
+
+    y_pix = net.apply(params, x, nn.Ctx(KEY))
+    y_ph = net.apply(params, x, nn.Ctx(KEY), phase_out=True)
+    assert y_ph.shape == (1, 64, 64, 8)
+    np.testing.assert_allclose(np.asarray(space_to_phase(y_pix, 2)),
+                               np.asarray(y_ph), rtol=2e-5, atol=2e-5)
+
+    def loss_pix(p):
+        y = net.apply(p, x, nn.Ctx(KEY))
+        return jnp.mean(jnp.square(y - t))
+
+    def loss_ph(p):
+        y = net.apply(p, x, nn.Ctx(KEY), phase_out=True)
+        return jnp.mean(jnp.square(y - space_to_phase(t, 2)))
+
+    g1 = jax.grad(loss_pix)(params)
+    g2 = jax.grad(loss_ph)(params)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    # normalize by a global scale: conv biases feeding InstanceNorm have a
+    # mathematically ZERO gradient (the norm subtracts the mean), so a
+    # per-leaf scale would amplify pure fp noise into "mismatches"
+    sc = max(float(jnp.max(jnp.abs(a))) for a in leaves1) + 1e-9
+    for a, b in zip(leaves1, jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b) / sc, np.asarray(a) / sc,
+                                   rtol=0, atol=1e-5)
+
+
+def test_unet_phase_out_residual_fallback():
+    # use_residual forces the pixel-space fallback; phase_out must still
+    # return the phase-major permutation of the residual output
+    from supervised_gan_tpu.ops.edge_conv import space_to_phase
+    net, params = build_g(2, 2, 8, 'unet_128', 'instance', False,
+                          noise_nc=8, use_residual=True)
+    x = jax.random.normal(KEY, (1, 128, 128, 2))
+    y_pix = net.apply(params, x, nn.Ctx(KEY))
+    y_ph = net.apply(params, x, nn.Ctx(KEY), phase_out=True)
+    np.testing.assert_allclose(np.asarray(space_to_phase(y_pix, 2)),
+                               np.asarray(y_ph), rtol=0, atol=0)
+
+
+def test_inert_bias_peephole():
+    """A conv bias followed by InstanceNorm/BatchNorm (optionally through a
+    constant-preserving Upsample) is cancelled exactly by the norm's mean
+    subtraction: skipping it must not change the output, and its exact
+    gradient becomes zero (the reference still reduces a full cotangent
+    into fp noise for these)."""
+    from supervised_gan_tpu.nn import core
+    from supervised_gan_tpu.nn.core import (Sequential, Conv2d,
+                                            ConvTranspose2d, InstanceNorm2d,
+                                            Upsample, LeakyReLU)
+    x = jax.random.normal(KEY, (1, 16, 16, 8))
+
+    for seq in (Sequential(Conv2d(8, 16, 3, 1, 1), InstanceNorm2d(16),
+                           LeakyReLU(0.2)),
+                Sequential(Conv2d(8, 16, 3, 1, 1), Upsample(2, 'bilinear'),
+                           InstanceNorm2d(16)),
+                Sequential(ConvTranspose2d(8, 16, 4, 2, 1),
+                           InstanceNorm2d(16))):
+        params = seq.init(KEY)
+        params['0']['bias'] = params['0']['bias'] + 0.37   # make it matter
+        y_on = seq.apply(params, x, nn.Ctx(KEY))
+        try:
+            core._SKIP_INERT_BIAS = False
+            y_off = seq.apply(params, x, nn.Ctx(KEY))
+        finally:
+            core._SKIP_INERT_BIAS = True
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                                   rtol=2e-4, atol=2e-5)
+        g = jax.grad(lambda p: jnp.sum(
+            jnp.square(seq.apply(p, x, nn.Ctx(KEY)))))(params)
+        assert float(jnp.max(jnp.abs(g['0']['bias']))) == 0.0
+        assert float(jnp.max(jnp.abs(g['0']['weight']))) > 0.0
+
+    # NOT followed by a norm: the bias stays live
+    seq = Sequential(Conv2d(8, 16, 3, 1, 1), LeakyReLU(0.2))
+    params = seq.init(KEY)
+    g = jax.grad(lambda p: jnp.sum(
+        jnp.square(seq.apply(p, x, nn.Ctx(KEY)))))(params)
+    assert float(jnp.max(jnp.abs(g['0']['bias']))) > 0.0
+
+
 def test_unet_noise_arg_ignored():
     net, params = build_g(1, 2, 32, 'unet_128', 'instance', False, noise_nc=8)
     x = jnp.ones((1, 128, 128, 1))

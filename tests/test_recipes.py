@@ -213,6 +213,34 @@ def test_twostage_cycle_fixed_noise_and_seq(dataroot, tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_twostage_cycle_phase_f2_equivalence(dataroot, tmp_path, monkeypatch):
+    """SGAN_TPU_PHASE_F2 keeps the F2 cycle outputs phase-major and
+    space_to_phase's the BCE targets instead — the losses are elementwise
+    means, so the whole train step must match the pixel-space formulation
+    to fp tolerance, and the visuals must interleave back."""
+    from supervised_gan_tpu.models import twostage_cycle as tsc
+    lam = ['--lambda_A', '10', '--lambda_B', '10',
+           '--lambda_A_cycle', '5', '--lambda_fake_cycle', '1']
+    errs = {}
+    vis = {}
+    for flag in (False, True):
+        monkeypatch.setattr(tsc, '_PHASE_F2', flag)
+        opt = TrainOptions().parse(base_args(
+            dataroot, str(tmp_path), 'tscp%d' % flag, 'twostage_cycle',
+            TS_ARCH + lam))
+        model, e_ = run_steps(opt)
+        errs[flag] = e_
+        vis[flag] = model.get_current_visuals()
+    for e0, e1 in zip(errs[False], errs[True]):
+        for k in e0:
+            np.testing.assert_allclose(e1[k], e0[k], rtol=5e-4, atol=1e-5)
+    for k in vis[False]:
+        assert vis[False][k].shape == vis[True][k].shape
+        np.testing.assert_allclose(vis[True][k].astype(np.float32),
+                                   vis[False][k].astype(np.float32),
+                                   atol=2.0)  # uint8 images, fp rounding
+
+
 def test_twostage_factd(dataroot, tmp_path):
     opt = TrainOptions().parse(base_args(
         dataroot, str(tmp_path), 'tsf', 'twostage_factd',
