@@ -69,8 +69,29 @@ class FCGANGenerator(Layer):
     def init(self, key):
         return {"model": self.model.init(key)}
 
-    def apply(self, params, x, ctx, activation='tanh'):
-        return activate(self.model.apply(params["model"], x, ctx), activation)
+    def apply(self, params, x, ctx, activation='tanh', phase_out=False):
+        if not phase_out:
+            return activate(self.model.apply(params["model"], x, ctx),
+                            activation)
+        # Phase-major output (see UnetGenerator.apply): the convT head
+        # emits its dense dot's natural (q, r, co) lane order; phase-
+        # aware consumers (stem_conv_phase D stems, space_to_phase'd
+        # elementwise-loss targets) read it without any pixel interleave.
+        from ..ops import edge_conv as ec
+        layers = self.model.layers
+        head = layers[-1]
+        h = Sequential(*layers[:-1]).apply(params["model"], x, ctx)
+        hp = params["model"].get(str(len(layers) - 1), {})
+        w, b = hp["weight"], hp.get("bias")
+        hc = h
+        if ctx.compute_dtype is not None:
+            hc = h.astype(ctx.compute_dtype)
+            w = w.astype(ctx.compute_dtype)
+        if ec.head_convt_supported(hc, w, head.stride, head.padding):
+            y = ec.head_convt_phase(hc, w, b, head.stride, head.padding)
+            return activate(y, activation)
+        y = head.apply(hp, h, ctx)
+        return ec.space_to_phase(activate(y, activation), head.stride)
 
 
 class FCGANGeneratorStar(Layer):

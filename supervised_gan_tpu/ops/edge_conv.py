@@ -346,6 +346,157 @@ def _stem_vjp_bwd(stride, padding, res, g):
 stem_conv.defvjp(_stem_vjp_fwd, _stem_vjp_bwd)
 
 
+# -------------------------------------------- phase-major-input stems
+
+def stem_phase_supported(xph, w, stride, padding):
+    """Gate for stem_conv_phase: strided conv whose input arrives in
+    space_to_phase(x, stride) layout and whose output grid equals the
+    phase block grid (k4s2p1 PatchGAN stems: (2H+2p-k)//s+1 == H)."""
+    kh, kw, ci, co = w.shape
+    s = stride
+    return (kh == kw and isinstance(s, int) and s >= 2
+            and isinstance(padding, int) and 0 <= padding < s
+            and co >= 16 and xph.shape[-1] == s * s * ci
+            and (s * xph.shape[1] + 2 * padding - kh) // s + 1
+            == xph.shape[1]
+            and (s * xph.shape[2] + 2 * padding - kw) // s + 1
+            == xph.shape[2])
+
+
+def _phase_stem_geometry(k, s, p):
+    """Kernel row ky reads pixel s*A - p + ky of output block A — i.e.
+    block A + dy, phase qy with ky = s*dy + qy + p.  Returns the block
+    shift range."""
+    dmin = (0 - p) // s          # floor division: negative for p > 0
+    dmax = (k - 1 - p) // s
+    return dmin, dmax
+
+
+def _w_phase_stem(w, s, p):
+    """(k, k, ci, co) -> ((nd*s)^2 * ci, co) rows ordered (dy, dx, qy,
+    qx, ci) to match the full-lane shifted-slice patches of
+    _stem_phase_fwd; (d, q) cells with no kernel tap hold zeros."""
+    k, _, ci, co = w.shape
+    dmin, dmax = _phase_stem_geometry(k, s, p)
+    zz = jnp.zeros((ci, co), w.dtype)
+    rows = []
+    for dy in range(dmin, dmax + 1):
+        for dx in range(dmin, dmax + 1):
+            for qy in range(s):
+                ky = s * dy + qy + p
+                for qx in range(s):
+                    kx = s * dx + qx + p
+                    rows.append(w[ky, kx] if 0 <= ky < k and 0 <= kx < k
+                                else zz)
+    return jnp.concatenate(rows, 0)
+
+
+def _stem_phase_patches(xph, k, s, p):
+    """Full-lane block-shift patches: pad the BLOCK grid (not the pixel
+    grid) and concat the nd x nd shifted slices, all s*s*ci lanes each.
+    Unused (d, q) combinations ride along as zero rows of the weight
+    matrix — the redundancy buys contiguous full-lane reads (sub-lane
+    slice-concat pieces measured hostile on TPU; file header rule 2)."""
+    n, hb, wb, ssci = xph.shape
+    dmin, dmax = _phase_stem_geometry(k, s, p)
+    pl, pr = -dmin, dmax
+    xpp = jnp.pad(xph, ((0, 0), (pl, pr), (pl, pr), (0, 0)))
+    cols = [xpp[:, pl + dy:pl + dy + hb, pl + dx:pl + dx + wb, :]
+            for dy in range(dmin, dmax + 1)
+            for dx in range(dmin, dmax + 1)]
+    return jnp.concatenate(cols, -1)
+
+
+def _stem_phase_fwd(xph, w, b, stride, padding):
+    """k-s-p conv reading its input DIRECTLY in phase-major layout.
+
+    The pixel-space stem pays a pad + space-to-depth relayout per call
+    (_im2col_s2d); when the producer is a phase-major convT head
+    (head_convt_phase) the interleave-then-repack round trip is pure
+    data formatting.  space_to_phase's lane order (q, r, c) is the same
+    block order s2d uses, so the patches here are shifted full-lane
+    slices of the phase tensor itself and the tap selection moves into
+    the weight-matrix row order (_w_phase_stem)."""
+    k = w.shape[0]
+    co = w.shape[3]
+    n, hb, wb, _ = xph.shape
+    patches = _stem_phase_patches(xph, k, stride, padding)
+    w2 = _w_phase_stem(w, stride, padding).astype(patches.dtype)
+    y = jax.lax.dot_general(
+        patches.reshape(n * hb * wb, -1), w2,
+        dimension_numbers=(((1,), (0,)), ((), ())))
+    y = y.reshape(n, hb, wb, co)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def stem_conv_phase(xph, w, b, stride, padding):
+    """conv2d(phase_to_space(xph, stride), w, b, stride, padding) without
+    ever materializing the pixel tensor; dx is returned in the SAME
+    phase-major layout (callers gate on stem_phase_supported)."""
+    return _stem_phase_fwd(xph, w, b, stride, padding)
+
+
+def _stem_phase_vjp_fwd(xph, w, b, stride, padding):
+    return (_stem_phase_fwd(xph, w, b, stride, padding),
+            (xph, w, b is not None))
+
+
+def _stem_phase_vjp_bwd(stride, padding, res, g):
+    xph, w, has_b = res
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    g = g.astype(xph.dtype)
+    k = w.shape[0]
+    s, p = stride, padding
+    ci, co = w.shape[2], w.shape[3]
+    n, hb, wb, _ = g.shape
+    gm = g.reshape(n * hb * wb, co)
+    # dw: patches^T @ g, then pick the k*k defined (d, q) row blocks
+    # (the zero-row positions carry no parameters)
+    patches = _stem_phase_patches(xph, k, s, p)
+    dw2 = jax.lax.dot_general(
+        patches.reshape(n * hb * wb, -1), gm.astype(patches.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())))
+    dmin, dmax = _phase_stem_geometry(k, s, p)
+    nd = dmax - dmin + 1
+    rows = []
+    for ky in range(k):
+        dy, qy = (ky - p) // s, (ky - p) % s
+        row = []
+        for kx in range(k):
+            dx, qx = (kx - p) // s, (kx - p) % s
+            blk = (((dy - dmin) * nd + (dx - dmin)) * s * s
+                   + qy * s + qx)
+            row.append(dw2[blk * ci:(blk + 1) * ci])
+        rows.append(jnp.stack(row))
+    dw = jnp.stack(rows).astype(w.dtype)
+    # dx (phase layout): d_patches = g @ w2^T, then the transpose of the
+    # shifted-slice concat — each (dy, dx) lane block pads back to its
+    # shifted block position and the pieces sum (elementwise, fusable)
+    w2 = _w_phase_stem(w, s, p).astype(g.dtype)
+    dpatches = jax.lax.dot_general(
+        gm, w2, dimension_numbers=(((1,), (1,)), ((), ())))
+    ssci = s * s * ci
+    dpatches = dpatches.reshape(n, hb, wb, nd * nd, ssci)
+    pl, pr = -dmin, dmax
+    acc = None
+    idx = 0
+    for dy in range(dmin, dmax + 1):
+        for dx in range(dmin, dmax + 1):
+            piece = jnp.pad(dpatches[:, :, :, idx, :],
+                            ((0, 0), (pl + dy, pr - dy),
+                             (pl + dx, pr - dx), (0, 0)))
+            acc = piece if acc is None else acc + piece
+            idx += 1
+    dxph = acc[:, pl:pl + hb, pl:pl + wb, :].astype(xph.dtype)
+    return dxph, dw, db
+
+
+stem_conv_phase.defvjp(_stem_phase_vjp_fwd, _stem_phase_vjp_bwd)
+
+
 # ------------------------------------------------- one-dot dw mid convs
 
 def dw_onedot(x, g, wshape, stride, padding):
@@ -422,6 +573,8 @@ def _mid_vjp_bwd(stride, padding, res, g):
         # nine K-major dots: no patches materialization (the one-dot
         # form's 75 MB relayout was the round-2 net loss)
         dw = _nine_dot_dw(x, g).astype(w.dtype)
+    elif _MID_DW == 'gcols' and kh == 3 and padding == 1 and stride == 1:
+        dw = dw_gcols(x, g).astype(w.dtype)
     else:
         dw = dw_onedot(x, g, w.shape, stride, padding).astype(w.dtype)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
@@ -527,6 +680,34 @@ def _nine_dot_dw(x, g):
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
     return jnp.stack(outs).reshape(3, 3, c, co)
+
+
+def dw_gcols(x, g):
+    """dw of a SAME 3x3 conv as ONE K-major MXU dot over explicitly
+    pre-transposed operands.
+
+    The nine-dot form (_nine_dot_dw) re-reads K-major copies of BOTH
+    operands nine times and accumulates through dynamic-update-slice
+    (round-3 trace at the 512px c64 sites: 1.40 ms/step of DUS dots plus
+    0.82 ms of XLA-inserted 6-output transposed materializations).  Here
+    each operand is transposed ONCE by hand — (n,c,H,W), channel-major —
+    after which the 9 shifted tap slices are contiguous reads, their
+    lane-concat is a plain bandwidth fusion, and the whole gradient is a
+    single (9c, HW) x (co, HW) contraction over the shared minor dim."""
+    n, h, w_, c = x.shape
+    co = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xpT = jnp.moveaxis(xp, 3, 1)                    # (n, c, h+2, w+2)
+    gT = jnp.moveaxis(g, 3, 1).reshape(n, co, h * w_)
+    cols = []
+    for ky in range(3):
+        for kx in range(3):
+            cols.append(lax.slice(xpT, (0, 0, ky, kx),
+                                  (n, c, ky + h, kx + w_)))
+    xcolsT = jnp.concatenate(cols, axis=1).reshape(n, 9 * c, h * w_)
+    dw = lax.dot_general(xcolsT, gT, (((2,), (2,)), ((0,), (0,))),
+                         preferred_element_type=jnp.float32)
+    return dw.sum(0).reshape(3, 3, c, co)
 
 
 def _crn_vjp_bwd(stride, padding, res, g):

@@ -509,11 +509,17 @@ def _vjp_bwd(res, g):
             # lowered below the kernel's packing rules): XLA dw.
             _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None), w)
             (dw,) = pb(g)
-    elif _DW_MODE == '9dot':
-        # XLA dx conv (keeps its fusions) + nine-dot dw
+    elif _DW_MODE in ('9dot', 'gcols'):
+        # XLA dx conv (keeps its fusions) + dot-form dw: nine K-major
+        # dots (9dot) or one pre-transposed single dot (gcols — see
+        # ops/edge_conv.dw_gcols)
         w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
         dx = _xla_conv(g, w_flip, None)
-        dw = _dw_9dot(x, g).astype(w.dtype)
+        if _DW_MODE == 'gcols':
+            from ..edge_conv import dw_gcols
+            dw = dw_gcols(x, g).astype(w.dtype)
+        else:
+            dw = _dw_9dot(x, g).astype(w.dtype)
     else:
         # joint XLA conv grads (SGAN_TPU_CONV3_DW=joint)
         _, pullback = jax.vjp(lambda xv, wv: _xla_conv(xv, wv, None), x, w)

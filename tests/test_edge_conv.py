@@ -111,6 +111,55 @@ def test_phase_space_roundtrip():
                                   np.asarray(x[0, 3, 4, :]))
 
 
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (128, 2, 64, 4, 2, 1),    # D1 PatchGAN stem fed by the G1 phase head
+    (64, 8, 32, 4, 2, 1),
+    (33, 2, 16, 6, 3, 2)])    # s=3 geometry (nd=3 block shifts)
+def test_stem_conv_phase(H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    xph = e.space_to_phase(x, s)
+    assert e.stem_phase_supported(xph, w, s, p)
+    y1 = e.stem_conv_phase(xph, w, b, s, p)
+    y2 = _xla_conv(x, w, b, s, p)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-5, atol=2e-5)
+    g = jax.random.normal(jax.random.PRNGKey(7), y1.shape)
+    d1 = jax.grad(lambda *a: jnp.vdot(e.stem_conv_phase(*a, s, p), g),
+                  (0, 1, 2))(xph, w, b)
+    d2 = jax.grad(lambda *a: jnp.vdot(_xla_conv(*a, s, p), g),
+                  (0, 1, 2))(x, w, b)
+    refs = (e.space_to_phase(d2[0], s), d2[1], d2[2])
+    for a, r in zip(d1, refs):
+        sc = float(jnp.max(jnp.abs(r))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(r) / sc,
+                                   rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_blur_downsample_phase(scale):
+    from supervised_gan_tpu.ops.resample import (blur_downsample,
+                                                 blur_downsample_phase)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 2))
+    ref = blur_downsample(x, scale)
+    got = blur_downsample_phase(e.space_to_phase(x, 2), 2, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("H,Ci,Co", [(16, 8, 4), (32, 64, 64)])
+@pytest.mark.parametrize("N", [1, 2])
+def test_dw_gcols(H, Ci, Co, N):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (N, H, H, Ci), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, Ci, Co)) * 0.1
+    g = jax.random.normal(jax.random.fold_in(key, 2), (N, H, H, Co))
+    _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None, 1, 1), w)
+    (ref,) = pb(g)
+    got = e.dw_gcols(x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
+
+
 @pytest.mark.parametrize("H,Ci,Co,k,s,p", [(128, 64, 64, 3, 1, 1)])
 def test_mid_conv(H, Ci, Co, k, s, p):
     x, w, b = _mk(H, Ci, Co, k)
