@@ -262,6 +262,11 @@ def main():
             'conv4s2': os.environ.get('SGAN_TPU_CONV4S2', '0'),
             'conv3_in_fused': os.environ.get('SGAN_TPU_CONV3_IN', '0'),
             'pack_state': os.environ.get('SGAN_TPU_PACK_STATE', '1'),
+            'conv3_dw': os.environ.get('SGAN_TPU_CONV3_DW', '9dot'),
+            'phase_f2': os.environ.get('SGAN_TPU_PHASE_F2', '1'),
+            'phase_g1': os.environ.get('SGAN_TPU_PHASE_G1', '0'),
+            'skip_inert_bias': os.environ.get('SGAN_TPU_SKIP_INERT_BIAS',
+                                              '1'),
         },
     }
     if torch_cpu:

@@ -46,12 +46,15 @@ def g_apply(net, params, ctx, x=None, noise=None, activation='tanh',
     only noise; CRN takes (label, noise); unet/resnet/autoencoder take x and
     ignore noise (reference models/networks.py:362-367,535,711).
 
-    ``phase_out=True`` (UnetGenerator only) returns the output in
-    phase-major layout — space_to_phase(pixel output, head stride); see
+    ``phase_out=True`` (UnetGenerator / FCGANGenerator) returns the output
+    in phase-major layout — space_to_phase(pixel output, head stride); see
     nn/generators.UnetGenerator.apply."""
     from ..nn.generators import (FCGANGenerator, FCGANGeneratorStar,
                                  DCGANGenerator, CascadedRefinementNetwork)
-    if isinstance(net, (FCGANGenerator, FCGANGeneratorStar, DCGANGenerator)):
+    if isinstance(net, FCGANGenerator):
+        return net.apply(params, noise, ctx, activation=activation,
+                         phase_out=phase_out)
+    if isinstance(net, (FCGANGeneratorStar, DCGANGenerator)):
         return net.apply(params, noise, ctx, activation=activation)
     if isinstance(net, CascadedRefinementNetwork):
         return net.apply(params, x, noise, ctx, activation=activation)
@@ -114,13 +117,20 @@ def mul_padded(in1, in2):
     return reflection_pad2d(in1, (pad_l, pad_r, pad_t, pad_b)) * in2
 
 
-def bank_apply(netDs, paramsD, x, ctx_factory):
-    """Run every discriminator in a bank on x."""
+def bank_apply(netDs, paramsD, x, ctx_factory, phase_in=0):
+    """Run every discriminator in a bank on x.
+
+    phase_in = s > 0: x is phase-major (space_to_phase(·, s)); each D
+    consumes it without a pixel interleave (NLayerDiscriminator.apply)."""
+    if phase_in:
+        return [netDs[i].apply(paramsD[str(i)], x, ctx_factory(),
+                               phase_in=phase_in)
+                for i in range(len(netDs))]
     return [netDs[i].apply(paramsD[str(i)], x, ctx_factory())
             for i in range(len(netDs))]
 
 
-def bank_apply_multi(netDs, paramsD, xs, ctx_factory):
+def bank_apply_multi(netDs, paramsD, xs, ctx_factory, phase_in=0):
     """Run every discriminator once on the batch-stacked inputs.
 
     The recipes evaluate each D on several same-shaped tensors (fake pair,
@@ -131,10 +141,10 @@ def bank_apply_multi(netDs, paramsD, xs, ctx_factory):
     """
     n = len(xs)
     if n == 1:
-        return [bank_apply(netDs, paramsD, xs[0], ctx_factory)]
+        return [bank_apply(netDs, paramsD, xs[0], ctx_factory, phase_in)]
     b = xs[0].shape[0]
     stacked = jnp.concatenate(xs, 0)
-    outs = bank_apply(netDs, paramsD, stacked, ctx_factory)
+    outs = bank_apply(netDs, paramsD, stacked, ctx_factory, phase_in)
     return [[o[j * b:(j + 1) * b] for o in outs] for j in range(n)]
 
 

@@ -41,6 +41,14 @@ from ..utils.images import tensor2im
 # 2-lane relayouts at the 512px heads).  SGAN_TPU_PHASE_F2=0 reverts.
 _PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '1') == '1'
 
+# Phase-major label-space pipeline: G1's convT head emits its dense dot's
+# natural phase-major tensor, pool1 stores it, and the D1 bank consumes it
+# in place (stem_conv_phase / blur_downsample_phase) — the G1-head pixel
+# interleave survives only for the transform() consumers, and the D1-side
+# space-to-depth packs disappear entirely.  SGAN_TPU_PHASE_G1=1 enables
+# (pending device A/B; correctness held by the equivalence test).
+_PHASE_G1 = os.environ.get('SGAN_TPU_PHASE_G1', '0') == '1'
+
 
 class TwoStageCycleModel(TwoGroupModel):
     def name(self):
@@ -59,6 +67,7 @@ class TwoStageCycleModel(TwoGroupModel):
 
         if self.isTrain:
             self.netD1 = self.build_D_bank(opt.input_nc, suffix='1')
+            self._phase_g1, self._g1_s = self._phase_g1_gate()
             num_classes = 3 if opt.use_multi_class_GAN else 2
             d2_in = opt.output_nc if opt.no_cgan \
                 else opt.output_nc + opt.input_nc
@@ -101,10 +110,16 @@ class TwoStageCycleModel(TwoGroupModel):
                 'D1': self.txD1.init(params['D1']),
                 'D2': self.txD2.init(params['D2'])}
             fs = opt.fineSize
-            # D1 judges in transform_inverse space
+            # D1 judges in transform_inverse space; with the phase-major
+            # label pipeline the pool stores the phase tensor itself
             a_small = self._label_space_size()
-            pools = {'pool1': init_pool(opt.pool_size,
-                                        (a_small, a_small, opt.input_nc))}
+            if self._phase_g1:
+                s1 = self._g1_s
+                p1_shape = (a_small // s1, a_small // s1,
+                            opt.input_nc * s1 * s1)
+            else:
+                p1_shape = (a_small, a_small, opt.input_nc)
+            pools = {'pool1': init_pool(opt.pool_size, p1_shape)}
             d2_nc = opt.output_nc if opt.no_cgan \
                 else opt.input_nc + opt.output_nc
             if not opt.use_multi_class_GAN:
@@ -164,6 +179,27 @@ class TwoStageCycleModel(TwoGroupModel):
             n_layers_CRN_block=o.n_layers_CRN_block2,
             share_label_weights=not o.no_share_label_block_weights2)
 
+    def _phase_g1_gate(self):
+        """(enabled, phase stride) for the phase-major label pipeline:
+        G1 must be an FCGAN generator whose head is a strided
+        ConvTranspose, the label grid must tile by its stride, and every
+        D1 must be an NLayerDiscriminator (the phase-aware consumer)."""
+        if not _PHASE_G1:
+            return False, 1
+        from ..nn.generators import FCGANGenerator
+        from ..nn.discriminators import NLayerDiscriminator
+        from ..nn.core import ConvTranspose2d
+        if not isinstance(self.netG1, FCGANGenerator):
+            return False, 1
+        head = self.netG1.model.layers[-1]
+        if not (isinstance(head, ConvTranspose2d) and head.stride > 1):
+            return False, 1
+        if self._label_space_size() % head.stride:
+            return False, 1
+        if not all(isinstance(d, NLayerDiscriminator) for d in self.netD1):
+            return False, 1
+        return True, head.stride
+
     def _label_space_size(self):
         # D1's real side is transform_inverse(real_A)
         if 'bilinear' in self.opt.transform_1to2:
@@ -204,12 +240,23 @@ class TwoStageCycleModel(TwoGroupModel):
         from ..nn.generators import UnetGenerator
         phase = _PHASE_F2 and isinstance(self.netF2, UnetGenerator)
         self._phase_f2 = phase
+        # phase-major label pipeline (see _PHASE_G1 above): fake_A rides
+        # phase-major through the taps/pool/D1; pixel space only for the
+        # transform() consumers (XLA CSEs the repeated interleave)
+        phase_g1 = getattr(self, '_phase_g1', False)
+        s1 = getattr(self, '_g1_s', 1)
+        d1_phase = s1 if phase_g1 else 0
+
+        def fa_pix(taps):
+            return (phase_to_space(taps['fake_A'], s1) if phase_g1
+                    else taps['fake_A'])
 
         def forward(params, inputs, noises, fkey):
             fk = [jax.random.fold_in(fkey, i) for i in range(8)]
             fake_A = g_apply(netG1, params['G1'], ctx(fk[0]),
-                             noise=noises['noise1'])
-            x_in = transform(fake_A)
+                             noise=noises['noise1'], phase_out=phase_g1)
+            x_in = transform(phase_to_space(fake_A, s1) if phase_g1
+                             else fake_A)
             if opt.detach_G1_from_G2_x:
                 x_in = lax.stop_gradient(x_in)
             if can_batch:
@@ -262,12 +309,17 @@ class TwoStageCycleModel(TwoGroupModel):
 
         def d1_loss(pD, pairs, inputs, all_params):
             real = transform_inverse(inputs['A'])
+            if phase_g1:
+                real = space_to_phase(real, s1)
             if can_batch:
                 outs_f, outs_r = bank_apply_multi(
-                    netD1, pD, [pairs['fake'], real], ctx)
+                    netD1, pD, [pairs['fake'], real], ctx,
+                    phase_in=d1_phase)
             else:
-                outs_f = bank_apply(netD1, pD, pairs['fake'], ctx)
-                outs_r = bank_apply(netD1, pD, real, ctx)
+                outs_f = bank_apply(netD1, pD, pairs['fake'], ctx,
+                                    phase_in=d1_phase)
+                outs_r = bank_apply(netD1, pD, real, ctx,
+                                    phase_in=d1_phase)
             lf = sum(gan_loss(o_, False, lsgan1) for o_ in outs_f)
             lr_ = sum(gan_loss(o_, True, lsgan1) for o_ in outs_r)
             total = (lf + lr_) * 0.5
@@ -290,7 +342,7 @@ class TwoStageCycleModel(TwoGroupModel):
                 if 'fake_fake' in opt.GAN_losses_D2:
                     ff, new_pools['pool2'] = pool_query(
                         new_pools['pool2'],
-                        cat_pair(transform(taps['fake_A']),
+                        cat_pair(transform(fa_pix(taps)),
                                  taps['fake_B_from_fake_A']), k2)
                     out['fake_fake'] = ff
             else:
@@ -299,7 +351,7 @@ class TwoStageCycleModel(TwoGroupModel):
                     cat_pair(inputs['A'], taps['fake_B_from_real_A']), k1)
                 out['c2'], new_pools['pool2_2'] = pool_query(
                     new_pools['pool2_2'],
-                    cat_pair(transform(taps['fake_A']),
+                    cat_pair(transform(fa_pix(taps)),
                              taps['fake_B_from_fake_A']), k2)
             return out, new_pools
 
@@ -332,7 +384,8 @@ class TwoStageCycleModel(TwoGroupModel):
             real_A, real_B = inputs['A'], inputs['B']
 
             g1 = 0.0
-            for o_, lam in zip(bank_apply(netD1, pD1, taps['fake_A'], ctx),
+            for o_, lam in zip(bank_apply(netD1, pD1, taps['fake_A'], ctx,
+                                          phase_in=d1_phase),
                                lambda_D1):
                 if not opt.no_logD_trick:
                     g1 += gan_loss(o_, True, lsgan1) * lam
@@ -344,7 +397,7 @@ class TwoStageCycleModel(TwoGroupModel):
             if 'real_fake' in opt.GAN_losses_G2:
                 g2_pairs.append(cat_pair(real_A, taps['fake_B_from_real_A']))
             if 'fake_fake' in opt.GAN_losses_G2:
-                label_part = transform(taps['fake_A'])
+                label_part = transform(fa_pix(taps))
                 if opt.detach_G1_from_G2_y:
                     label_part = lax.stop_gradient(label_part)
                 g2_pairs.append(cat_pair(label_part,
@@ -380,7 +433,7 @@ class TwoStageCycleModel(TwoGroupModel):
             # free) targets instead: BCE is an elementwise mean, so the
             # permutation leaves value and gradients identical
             ra = space_to_phase(real_A, 2) if phase else real_A
-            fa_t = lax.stop_gradient(transform(taps['fake_A']))
+            fa_t = lax.stop_gradient(transform(fa_pix(taps)))
             if phase:
                 fa_t = space_to_phase(fa_t, 2)
             ce = bce_loss((taps['fake_A_from_real_B'] + 1) / 2,
@@ -453,10 +506,12 @@ class TwoStageCycleModel(TwoGroupModel):
             t = self._taps
             f2 = ((lambda y: phase_to_space(y, 2))
                   if getattr(self, '_phase_f2', False) else (lambda y: y))
+            fa = (phase_to_space(t['fake_A'], self._g1_s)
+                  if getattr(self, '_phase_g1', False) else t['fake_A'])
             return OrderedDict([
                 ('real_A', tensor2im(self.real_A)),
                 ('fake_B_real_A', tensor2im(t['fake_B_from_real_A'])),
-                ('fake_A', tensor2im(self.transform(t['fake_A']))),
+                ('fake_A', tensor2im(self.transform(fa))),
                 ('fake_B_fake_A', tensor2im(t['fake_B_from_fake_A'])),
                 ('fake_A_real_B', tensor2im(f2(t['fake_A_from_real_B']))),
                 ('real_B', tensor2im(self.real_B)),

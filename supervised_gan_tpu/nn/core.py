@@ -133,8 +133,10 @@ class Sequential(Layer):
                 params[str(i)] = p
         return params
 
-    def apply(self, params, x, ctx):
-        i = 0
+    def apply(self, params, x, ctx, start=0):
+        # start > 0: resume mid-chain (a caller consumed the first layers
+        # itself, e.g. a phase-major stem — params keys stay positional)
+        i = start
         n = len(self.layers)
         while i < n:
             layer = self.layers[i]

@@ -55,8 +55,36 @@ class NLayerDiscriminator(Layer):
     def init(self, key):
         return {"model": self.model.init(key)}
 
-    def apply(self, params, x, ctx):
-        if self.scale_factor > 1:
+    def apply(self, params, x, ctx, phase_in=0):
+        """phase_in = s > 0: x arrives in edge_conv.space_to_phase(·, s)
+        layout (a phase-major convT-head producer, e.g. the DSGAN G1).
+        The blur front-end reads the phase lanes in place
+        (ops.resample.blur_downsample_phase) and the scale-1 stem consumes
+        the phase tensor directly (edge_conv.stem_conv_phase) — the pixel
+        interleave + space-to-depth round trip never happens."""
+        if phase_in:
+            from ..ops.edge_conv import (stem_conv_phase,
+                                         stem_phase_supported,
+                                         phase_to_space)
+            if self.scale_factor > 1:
+                from ..ops.resample import blur_downsample_phase
+                x = blur_downsample_phase(x, phase_in, self.scale_factor,
+                                          ctx.compute_dtype)
+            else:
+                first = self.model.layers[0]
+                p0 = params["model"]["0"]
+                xc, wc = x, p0["weight"]
+                if ctx.compute_dtype is not None:
+                    xc = x.astype(ctx.compute_dtype)
+                    wc = wc.astype(ctx.compute_dtype)
+                if (first.stride == phase_in and stem_phase_supported(
+                        xc, wc, first.stride, first.padding)):
+                    h = stem_conv_phase(xc, wc, p0.get("bias"),
+                                        first.stride, first.padding)
+                    return self.model.apply(params["model"], h, ctx,
+                                            start=1)
+                x = phase_to_space(x, phase_in)
+        elif self.scale_factor > 1:
             x = blur_downsample(x, self.scale_factor, ctx.compute_dtype)
         return self.model.apply(params["model"], x, ctx)
 

@@ -101,6 +101,30 @@ def avg_pool(x, kernel, stride=None, padding=0):
     return (y / (k[0] * k[1])).astype(x.dtype)
 
 
+def blur_downsample_phase(xph, s, scale_factor, compute_dtype=None):
+    """blur_downsample(phase_to_space(xph, s), scale_factor) without ever
+    materializing the pixel tensor.
+
+    xph: (N, H/s, W/s, s*s*C) in edge_conv.space_to_phase lane order
+    (qy, qx, c) — pixel row j = s*jb + qy.  The separable blur matrices
+    are reshaped (out, H/s, s) so the contraction reads the phase lanes in
+    place; output is the pixel-space downsampled tensor (same values as
+    the pixel path, same f32 accumulation)."""
+    n, hb, wb, ssc = xph.shape
+    c = ssc // (s * s)
+    if scale_factor <= 1:
+        from .edge_conv import phase_to_space
+        return phase_to_space(xph, s)
+    Ah = jnp.asarray(_blur_matrix(hb * s, scale_factor)).reshape(-1, hb, s)
+    Aw = jnp.asarray(_blur_matrix(wb * s, scale_factor)).reshape(-1, wb, s)
+    x6 = xph.reshape(n, hb, wb, s, s, c).astype(jnp.float32)
+    t = jnp.einsum('ohq,nhwqrc->nowrc', Ah, x6,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum('pwr,nowrc->nopc', Aw, t,
+                   preferred_element_type=jnp.float32)
+    return y.astype(xph.dtype)
+
+
 def matlab_gauss2d(shape=(3, 3), sigma=0.5):
     """MATLAB fspecial('gaussian') — reference models/networks.py:22-33."""
     m, n = [(ss - 1.0) / 2.0 for ss in shape]

@@ -241,6 +241,42 @@ def test_twostage_cycle_phase_f2_equivalence(dataroot, tmp_path, monkeypatch):
                                    atol=2.0)  # uint8 images, fp rounding
 
 
+def test_twostage_cycle_phase_g1_equivalence(dataroot, tmp_path, monkeypatch):
+    """SGAN_TPU_PHASE_G1 keeps fake_A phase-major through the taps, pool1
+    and the D1 bank (stem_conv_phase at scale 1, blur_downsample_phase at
+    scale 2); the pixel formulation must match to fp tolerance and the
+    visuals must interleave back."""
+    from supervised_gan_tpu.models import twostage_cycle as tsc
+    # D1 bank with BOTH front-ends (scale 1 -> phase stem, scale 2 ->
+    # phase blur); ndf1 16 so the stem passes stem_phase_supported
+    arch = TS_ARCH + ['--n_layers_D1', '2', '2', '--scale_factor1', '1',
+                      '2', '--lambda_D1', '0.5', '0.4', '--ndf1', '16',
+                      '--lambda_A', '10', '--lambda_B', '10',
+                      '--lambda_A_cycle', '5', '--lambda_fake_cycle', '1',
+                      '--GAN_losses_D2', 'real_fake', 'fake_fake',
+                      '--GAN_losses_G2', 'real_fake', 'fake_fake']
+    errs = {}
+    vis = {}
+    for flag in (False, True):
+        monkeypatch.setattr(tsc, '_PHASE_G1', flag)
+        opt = TrainOptions().parse(base_args(
+            dataroot, str(tmp_path), 'tscg%d' % flag, 'twostage_cycle',
+            arch))
+        model, e_ = run_steps(opt)
+        if flag:
+            assert model._phase_g1 and model._g1_s == 2
+        errs[flag] = e_
+        vis[flag] = model.get_current_visuals()
+    for e0, e1 in zip(errs[False], errs[True]):
+        for k in e0:
+            np.testing.assert_allclose(e1[k], e0[k], rtol=5e-4, atol=1e-5)
+    for k in vis[False]:
+        assert vis[False][k].shape == vis[True][k].shape
+        np.testing.assert_allclose(vis[True][k].astype(np.float32),
+                                   vis[False][k].astype(np.float32),
+                                   atol=2.0)
+
+
 def test_twostage_factd(dataroot, tmp_path):
     opt = TrainOptions().parse(base_args(
         dataroot, str(tmp_path), 'tsf', 'twostage_factd',
