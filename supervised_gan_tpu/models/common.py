@@ -117,6 +117,29 @@ def mul_padded(in1, in2):
     return reflection_pad2d(in1, (pad_l, pad_r, pad_t, pad_b)) * in2
 
 
+def phase_label_gate(netG, netDs, label_size, enabled=True):
+    """(enabled, phase stride) for the phase-major label-space pipeline
+    (SGAN_TPU_PHASE_G1): the generator must be an FCGAN whose head is a
+    strided ConvTranspose (the phase-major producer), the label grid must
+    tile by its stride, and every D must be an NLayerDiscriminator (the
+    phase-aware consumer: stem_conv_phase / blur_downsample_phase)."""
+    if not enabled:
+        return False, 1
+    from ..nn.generators import FCGANGenerator
+    from ..nn.discriminators import NLayerDiscriminator
+    from ..nn.core import ConvTranspose2d
+    if not isinstance(netG, FCGANGenerator):
+        return False, 1
+    head = netG.model.layers[-1]
+    if not (isinstance(head, ConvTranspose2d) and head.stride > 1):
+        return False, 1
+    if label_size % head.stride:
+        return False, 1
+    if not all(isinstance(d, NLayerDiscriminator) for d in netDs):
+        return False, 1
+    return True, head.stride
+
+
 def bank_apply(netDs, paramsD, x, ctx_factory, phase_in=0):
     """Run every discriminator in a bank on x.
 

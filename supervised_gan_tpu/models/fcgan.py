@@ -13,15 +13,25 @@ program with donated state (no host sync in the hot loop).
 
 from collections import OrderedDict
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .base import BaseModel, parse_which_channel, adam_transform, apply_adam
+from .common import phase_label_gate
 from .pools import init_pool, pool_query
 from .. import nn
 from ..nn.losses import gan_loss, bce_loss
+from ..ops.edge_conv import space_to_phase, phase_to_space
 from ..utils.images import tensor2im
+
+# Phase-major label pipeline (see models/twostage_cycle.py _PHASE_G1): in
+# this recipe the D bank and pool are G's ONLY consumers inside the step,
+# so the head's pixel interleave disappears from the train program
+# entirely — fakes interleave once, at display boundaries.
+_PHASE_G = os.environ.get('SGAN_TPU_PHASE_G1', '0') == '1'
 
 
 class FCGANModel(BaseModel):
@@ -74,13 +84,20 @@ class FCGANModel(BaseModel):
 
         state = {'params': params}
         if self.isTrain:
+            self._phase_g, self._g_s = phase_label_gate(
+                self.netG, self.netD, opt.fineSize, _PHASE_G)
             self.old_lr = opt.lr
             self.txG = adam_transform(opt.beta1)
             self.txD = adam_transform(opt.beta1)
             state['optG'] = self.txG.init(params['G'])
             state['optD'] = self.txD.init(params['D'])
-            state['pool'] = init_pool(
-                opt.pool_size, (opt.fineSize, opt.fineSize, opt.input_nc))
+            if self._phase_g:
+                s = self._g_s
+                pshape = (opt.fineSize // s, opt.fineSize // s,
+                          opt.input_nc * s * s)
+            else:
+                pshape = (opt.fineSize, opt.fineSize, opt.input_nc)
+            state['pool'] = init_pool(opt.pool_size, pshape)
             if opt.continue_train:
                 restored = self.load_full_state(opt.which_epoch)
                 if restored is not None:
@@ -122,14 +139,26 @@ class FCGANModel(BaseModel):
         cd = self.compute_dtype
         txG, txD = self.txG, self.txD
 
+        phase_s = self._g_s if self._phase_g else 0
+
         def g_fwd(pG, noise, fkey):
-            return netG.apply(pG, noise, nn.Ctx(fkey, compute_dtype=cd))
+            ctx = nn.Ctx(fkey, compute_dtype=cd)
+            if phase_s:
+                return netG.apply(pG, noise, ctx, phase_out=True)
+            return netG.apply(pG, noise, ctx)
 
         def d_fwd(pD, x):
+            if phase_s:
+                return [netD[i].apply(pD[str(i)], x,
+                                      nn.Ctx(compute_dtype=cd),
+                                      phase_in=phase_s)
+                        for i in range(n_D)]
             return [netD[i].apply(pD[str(i)], x, nn.Ctx(compute_dtype=cd))
                     for i in range(n_D)]
 
         def d_loss_fn(pD, fake, real):
+            if phase_s:
+                real = space_to_phase(real, phase_s)
             loss_fake = sum(gan_loss(o, False, lsgan) for o in d_fwd(pD, fake))
             loss_real = sum(gan_loss(o, True, lsgan) for o in d_fwd(pD, real))
             return (loss_fake + loss_real) * 0.5, (loss_fake, loss_real)
@@ -206,7 +235,10 @@ class FCGANModel(BaseModel):
         return self.old_lr
 
     def _after_chunk(self, taps):
+        # the train-step tap stays phase-major on device under the phase
+        # pipeline; interleave only at display boundaries
         self.fake = taps
+        self._fake_is_phase = getattr(self, '_phase_g', False)
         self.real = self.input
 
     def test(self):
@@ -215,6 +247,7 @@ class FCGANModel(BaseModel):
             jax.random.fold_in(key, 0), self._noise_shape())
         self.fake = self._g_fwd(self.state['params']['G'], self.noise,
                                 jax.random.fold_in(key, 1))
+        self._fake_is_phase = False
         print('Random check: {}'.format(float(self.noise[0, 0, 0, 0])))
 
     def interpolate(self, alpha):
@@ -222,6 +255,7 @@ class FCGANModel(BaseModel):
         self.noise = noise
         self.fake = self._g_fwd(self.state['params']['G'], noise,
                                 jax.random.fold_in(self.master_key, 99))
+        self._fake_is_phase = False
         self.real = self.input
 
     def set_fixed_noise(self, which_one):
@@ -279,6 +313,7 @@ class FCGANModel(BaseModel):
                             ll=nll(noise), ll_init=nll(noise0))
         self.noise = best['noise']
         self.fake = best['recon']
+        self._fake_is_phase = False
         self.fake_init = best['recon_init']
         self.real = real
         return best['err'], best['ll'], best['ll_init']
@@ -292,6 +327,9 @@ class FCGANModel(BaseModel):
         return self._fetch_metrics()
 
     def get_current_visuals(self, save_real=False, save_as_single_image=True):
+        if getattr(self, '_fake_is_phase', False):
+            self.fake = phase_to_space(self.fake, self._g_s)
+            self._fake_is_phase = False
         two = len(self.visual_groups) == 2
         if self.isTrain or save_real:
             if two:

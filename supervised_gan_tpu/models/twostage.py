@@ -10,20 +10,31 @@ always pulls G1+D1 (reference :99-102).
 
 from collections import OrderedDict
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from .two_group import TwoGroupModel
 from .base import adam_transform
-from .common import build_gan_train_step, bank_apply, g_apply, cat_channels
+from .common import (build_gan_train_step, bank_apply, g_apply,
+                     cat_channels, phase_label_gate)
 from .pools import init_pool, pool_query
 from .. import nn
 from ..nn.losses import gan_loss, gan_loss_multiclass, weighted_l1_loss
+from ..ops.edge_conv import space_to_phase, phase_to_space
 from ..utils.images import tensor2im
+
+# Phase-major label pipeline (see models/twostage_cycle.py _PHASE_G1)
+_PHASE_G1 = os.environ.get('SGAN_TPU_PHASE_G1', '0') == '1'
 
 
 class TwoStageModel(TwoGroupModel):
+    # subclasses whose train step consumes pixel-space labels (factd's
+    # paired D1xD2 products) opt out of the phase-major pipeline
+    _phase_pipeline_ok = True
+
     def name(self):
         return 'TwoStageModel'
 
@@ -37,6 +48,9 @@ class TwoStageModel(TwoGroupModel):
 
         if self.isTrain:
             self.netD1 = self.build_D_bank(opt.input_nc, suffix='1')
+            self._phase_g1, self._g1_s = phase_label_gate(
+                self.netG1, self.netD1, self._label_space_size(),
+                _PHASE_G1 and self._phase_pipeline_ok)
             num_classes = 3 if opt.use_multi_class_GAN else 2
             d2_in = opt.output_nc if opt.no_cgan \
                 else opt.output_nc + opt.input_nc
@@ -70,8 +84,13 @@ class TwoStageModel(TwoGroupModel):
                 'D2': self.txD2.init(params['D2'])}
             fs = opt.fineSize
             a_small = self._label_space_size()
-            pools = {'pool1': init_pool(opt.pool_size,
-                                        (a_small, a_small, opt.input_nc))}
+            if self._phase_g1:
+                s1 = self._g1_s
+                p1_shape = (a_small // s1, a_small // s1,
+                            opt.input_nc * s1 * s1)
+            else:
+                p1_shape = (a_small, a_small, opt.input_nc)
+            pools = {'pool1': init_pool(opt.pool_size, p1_shape)}
             d2_nc = opt.output_nc if opt.no_cgan \
                 else opt.input_nc + opt.output_nc
             if not opt.use_multi_class_GAN:
@@ -144,13 +163,23 @@ class TwoStageModel(TwoGroupModel):
         def ctx(fkey=None):
             return nn.Ctx(fkey, compute_dtype=cd)
 
+        # phase-major label pipeline (see twostage_cycle._build_train_step)
+        phase_g1 = getattr(self, '_phase_g1', False)
+        s1 = getattr(self, '_g1_s', 1)
+        d1_phase = s1 if phase_g1 else 0
+
+        def fa_pix(taps):
+            return (phase_to_space(taps['fake_A'], s1) if phase_g1
+                    else taps['fake_A'])
+
         def forward(params, inputs, noises, fkey):
             fk = [jax.random.fold_in(fkey, i) for i in range(4)]
             fake_A = g_apply(netG1, params['G1'], ctx(fk[0]),
-                             noise=noises['noise1'])
+                             noise=noises['noise1'], phase_out=phase_g1)
             fake_B_from_real_A = g_apply(netG2, params['G2'], ctx(fk[1]),
                                          x=inputs['A'], noise=noises['noise2'])
-            x_in = transform(fake_A)
+            x_in = transform(phase_to_space(fake_A, s1) if phase_g1
+                             else fake_A)
             if opt.detach_G1_from_G2_x:
                 x_in = lax.stop_gradient(x_in)
             fake_B_from_fake_A = g_apply(netG2, params['G2'], ctx(fk[2]),
@@ -168,10 +197,14 @@ class TwoStageModel(TwoGroupModel):
 
         def d1_loss(pD, pairs, inputs, all_params):
             real = transform_inverse(inputs['A'])
+            if phase_g1:
+                real = space_to_phase(real, s1)
             lf = sum(gan_loss(o_, False, lsgan1)
-                     for o_ in bank_apply(netD1, pD, pairs['fake'], ctx))
+                     for o_ in bank_apply(netD1, pD, pairs['fake'], ctx,
+                                          phase_in=d1_phase))
             lr_ = sum(gan_loss(o_, True, lsgan1)
-                      for o_ in bank_apply(netD1, pD, real, ctx))
+                      for o_ in bank_apply(netD1, pD, real, ctx,
+                                           phase_in=d1_phase))
             total = (lf + lr_) * 0.5
             return total, {'D1': total}
 
@@ -187,7 +220,7 @@ class TwoStageModel(TwoGroupModel):
                 if 'fake_fake' in opt.GAN_losses_D2:
                     out['fake_fake'], new_pools['pool2'] = pool_query(
                         new_pools['pool2'],
-                        cat_pair(transform(taps['fake_A']),
+                        cat_pair(transform(fa_pix(taps)),
                                  taps['fake_B_from_fake_A']), k2)
             else:
                 out['c1'], new_pools['pool2_1'] = pool_query(
@@ -195,7 +228,7 @@ class TwoStageModel(TwoGroupModel):
                     cat_pair(inputs['A'], taps['fake_B_from_real_A']), k1)
                 out['c2'], new_pools['pool2_2'] = pool_query(
                     new_pools['pool2_2'],
-                    cat_pair(transform(taps['fake_A']),
+                    cat_pair(transform(fa_pix(taps)),
                              taps['fake_B_from_fake_A']), k2)
             return out, new_pools
 
@@ -224,7 +257,8 @@ class TwoStageModel(TwoGroupModel):
             pD1, pD2 = all_params['D1'], all_params['D2']
             real_A, real_B = inputs['A'], inputs['B']
             g1 = 0.0
-            for o_, lam in zip(bank_apply(netD1, pD1, taps['fake_A'], ctx),
+            for o_, lam in zip(bank_apply(netD1, pD1, taps['fake_A'], ctx,
+                                          phase_in=d1_phase),
                                lambda_D1):
                 if not opt.no_logD_trick:
                     g1 += gan_loss(o_, True, lsgan1) * lam
@@ -257,7 +291,7 @@ class TwoStageModel(TwoGroupModel):
                 g2 += d2_term(cat_pair(real_A, taps['fake_B_from_real_A']))
                 num_pairs += 1
             if 'fake_fake' in opt.GAN_losses_G2:
-                label_part = transform(taps['fake_A'])
+                label_part = transform(fa_pix(taps))
                 if opt.detach_G1_from_G2_y:
                     label_part = lax.stop_gradient(label_part)
                 g2 += d2_term(cat_pair(label_part,
@@ -322,8 +356,10 @@ class TwoStageModel(TwoGroupModel):
     def get_current_visuals(self, save_as_single_image=False):
         if self.isTrain:
             t = self._taps
+            fa = (phase_to_space(t['fake_A'], self._g1_s)
+                  if getattr(self, '_phase_g1', False) else t['fake_A'])
             img_list = [
-                ('fake_A', tensor2im(t['fake_A'])),
+                ('fake_A', tensor2im(fa)),
                 ('fake_B_fake_A', tensor2im(t['fake_B_from_fake_A'])),
                 ('real_A', tensor2im(self.real_A)),
                 ('real_B', tensor2im(self.real_B)),

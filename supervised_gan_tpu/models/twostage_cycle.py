@@ -180,25 +180,9 @@ class TwoStageCycleModel(TwoGroupModel):
             share_label_weights=not o.no_share_label_block_weights2)
 
     def _phase_g1_gate(self):
-        """(enabled, phase stride) for the phase-major label pipeline:
-        G1 must be an FCGAN generator whose head is a strided
-        ConvTranspose, the label grid must tile by its stride, and every
-        D1 must be an NLayerDiscriminator (the phase-aware consumer)."""
-        if not _PHASE_G1:
-            return False, 1
-        from ..nn.generators import FCGANGenerator
-        from ..nn.discriminators import NLayerDiscriminator
-        from ..nn.core import ConvTranspose2d
-        if not isinstance(self.netG1, FCGANGenerator):
-            return False, 1
-        head = self.netG1.model.layers[-1]
-        if not (isinstance(head, ConvTranspose2d) and head.stride > 1):
-            return False, 1
-        if self._label_space_size() % head.stride:
-            return False, 1
-        if not all(isinstance(d, NLayerDiscriminator) for d in self.netD1):
-            return False, 1
-        return True, head.stride
+        from .common import phase_label_gate
+        return phase_label_gate(self.netG1, self.netD1,
+                                self._label_space_size(), _PHASE_G1)
 
     def _label_space_size(self):
         # D1's real side is transform_inverse(real_A)

@@ -25,6 +25,10 @@ from ..nn.losses import gan_loss, weighted_l1_loss
 
 
 class TwoStageFactDModel(TwoStageModel):
+    # the factored per-pair D1(label) x D2(pair) products consume the
+    # pixel-space label directly — the phase pipeline does not apply
+    _phase_pipeline_ok = False
+
     def name(self):
         return 'TwoStageModel'
 

@@ -65,6 +65,38 @@ def trained(dataroot, tmp_path_factory):
     return dict(model=model, opt=opt, ckpt=ckpt, losses=losses)
 
 
+def test_fcgan_phase_g_equivalence(dataroot, tmp_path, monkeypatch):
+    """SGAN_TPU_PHASE_G1 on the fcgan recipe: G's phase-major output feeds
+    the pool and both D front-ends (stem + blur) with no pixel interleave
+    inside the step; losses and visuals must match the pixel formulation."""
+    from supervised_gan_tpu.models import fcgan as fc
+    errs = {}
+    vis = {}
+    for flag in (False, True):
+        monkeypatch.setattr(fc, '_PHASE_G', flag)
+        ckpt = str(tmp_path / ('ck%d' % flag))
+        opt = TrainOptions().parse(fcgan_args(
+            dataroot, ckpt, extra=['--ndf', '16', '--name', 'fcph']))
+        model = create_model(opt)
+        if flag:
+            assert model._phase_g and model._g_s == 2
+        loader = CreateDataLoader(opt)
+        e_ = []
+        for data in loader:
+            model.set_input(data)
+            model.optimize_parameters()
+            e_.append(model.get_current_errors())
+        errs[flag] = e_
+        vis[flag] = model.get_current_visuals()
+    for e0, e1 in zip(errs[False], errs[True]):
+        for k in e0:
+            np.testing.assert_allclose(e1[k], e0[k], rtol=5e-4, atol=1e-5)
+    for k in vis[False]:
+        np.testing.assert_allclose(vis[True][k].astype(np.float32),
+                                   vis[False][k].astype(np.float32),
+                                   atol=2.0)
+
+
 def test_training_runs_and_losses_finite(trained):
     for e in trained['losses']:
         for k, v in e.items():

@@ -277,6 +277,34 @@ def test_twostage_cycle_phase_g1_equivalence(dataroot, tmp_path, monkeypatch):
                                    atol=2.0)
 
 
+def test_twostage_phase_g1_equivalence(dataroot, tmp_path, monkeypatch):
+    """The non-cycle twostage recipe under SGAN_TPU_PHASE_G1 (same pipeline
+    as twostage_cycle's, through its own train step)."""
+    from supervised_gan_tpu.models import twostage as ts
+    arch = TS_ARCH + ['--n_layers_D1', '2', '2', '--scale_factor1', '1',
+                      '2', '--lambda_D1', '0.5', '0.4', '--ndf1', '16',
+                      '--GAN_losses_D2', 'real_fake', 'fake_fake',
+                      '--GAN_losses_G2', 'real_fake', 'fake_fake']
+    errs = {}
+    vis = {}
+    for flag in (False, True):
+        monkeypatch.setattr(ts, '_PHASE_G1', flag)
+        opt = TrainOptions().parse(base_args(
+            dataroot, str(tmp_path), 'tsg%d' % flag, 'twostage', arch))
+        model, e_ = run_steps(opt)
+        if flag:
+            assert model._phase_g1 and model._g1_s == 2
+        errs[flag] = e_
+        vis[flag] = model.get_current_visuals()
+    for e0, e1 in zip(errs[False], errs[True]):
+        for k in e0:
+            np.testing.assert_allclose(e1[k], e0[k], rtol=5e-4, atol=1e-5)
+    for k in vis[False]:
+        np.testing.assert_allclose(vis[True][k].astype(np.float32),
+                                   vis[False][k].astype(np.float32),
+                                   atol=2.0)
+
+
 def test_twostage_factd(dataroot, tmp_path):
     opt = TrainOptions().parse(base_args(
         dataroot, str(tmp_path), 'tsf', 'twostage_factd',
