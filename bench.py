@@ -265,6 +265,7 @@ def main():
             'conv3_dw': os.environ.get('SGAN_TPU_CONV3_DW', '9dot'),
             'phase_f2': os.environ.get('SGAN_TPU_PHASE_F2', '1'),
             'phase_g1': os.environ.get('SGAN_TPU_PHASE_G1', '0'),
+            'phase_d2': os.environ.get('SGAN_TPU_PHASE_D2', '0'),
             'skip_inert_bias': os.environ.get('SGAN_TPU_SKIP_INERT_BIAS',
                                               '1'),
         },

@@ -140,11 +140,50 @@ def phase_label_gate(netG, netDs, label_size, enabled=True):
     return True, head.stride
 
 
-def bank_apply(netDs, paramsD, x, ctx_factory, phase_in=0):
+def bank_phase_gate(netDs, input_nc, spatial, enabled=True):
+    """(ok, s) for packing a PIXEL bank input once per apply: every
+    member must consume the phase-major tensor natively — scale-1
+    members through stem_conv_phase (their shared stem stride sets s),
+    scale>1 through blur_downsample_phase.  Without at least one scale-1
+    member the pack buys nothing (the blur reads the same bytes either
+    way) and the gate stays off."""
+    if not enabled:
+        return False, 1
+    from ..nn.discriminators import NLayerDiscriminator
+    s = None
+    for d in netDs:
+        if not isinstance(d, NLayerDiscriminator):
+            return False, 1
+        first = d.model.layers[0]
+        if first.in_nc != input_nc:
+            return False, 1
+        if d.scale_factor == 1:
+            st, k, p = first.stride, first.kernel, first.padding
+            if s is None:
+                s = st
+            # static half of stem_phase_supported: shared stride >= 2,
+            # full-lane co, and the output grid == the phase block grid
+            if (st != s or s < 2 or first.out_nc < 16 or not 0 <= p < s
+                    or spatial % s
+                    or (spatial + 2 * p - k) // s + 1 != spatial // s):
+                return False, 1
+    if s is None or spatial % s:
+        return False, 1
+    return True, s
+
+
+def bank_apply(netDs, paramsD, x, ctx_factory, phase_in=0, pack_phase=0):
     """Run every discriminator in a bank on x.
 
     phase_in = s > 0: x is phase-major (space_to_phase(·, s)); each D
-    consumes it without a pixel interleave (NLayerDiscriminator.apply)."""
+    consumes it without a pixel interleave (NLayerDiscriminator.apply).
+    pack_phase = s > 0: x is PIXEL; pack it once here (one relayout for
+    the whole bank instead of one s2d per scale-1 stem) — callers gate
+    on bank_phase_gate."""
+    if pack_phase and not phase_in:
+        from ..ops.edge_conv import space_to_phase
+        x = space_to_phase(x, pack_phase)
+        phase_in = pack_phase
     if phase_in:
         return [netDs[i].apply(paramsD[str(i)], x, ctx_factory(),
                                phase_in=phase_in)
@@ -153,7 +192,8 @@ def bank_apply(netDs, paramsD, x, ctx_factory, phase_in=0):
             for i in range(len(netDs))]
 
 
-def bank_apply_multi(netDs, paramsD, xs, ctx_factory, phase_in=0):
+def bank_apply_multi(netDs, paramsD, xs, ctx_factory, phase_in=0,
+                     pack_phase=0):
     """Run every discriminator once on the batch-stacked inputs.
 
     The recipes evaluate each D on several same-shaped tensors (fake pair,
@@ -164,10 +204,12 @@ def bank_apply_multi(netDs, paramsD, xs, ctx_factory, phase_in=0):
     """
     n = len(xs)
     if n == 1:
-        return [bank_apply(netDs, paramsD, xs[0], ctx_factory, phase_in)]
+        return [bank_apply(netDs, paramsD, xs[0], ctx_factory, phase_in,
+                           pack_phase)]
     b = xs[0].shape[0]
     stacked = jnp.concatenate(xs, 0)
-    outs = bank_apply(netDs, paramsD, stacked, ctx_factory, phase_in)
+    outs = bank_apply(netDs, paramsD, stacked, ctx_factory, phase_in,
+                      pack_phase)
     return [[o[j * b:(j + 1) * b] for o in outs] for j in range(n)]
 
 

@@ -27,7 +27,8 @@ import os
 from .two_group import TwoGroupModel
 from .base import adam_transform
 from .common import (build_gan_train_step, bank_apply, bank_apply_multi,
-                     g_apply, g_apply_multi, l1_weight_map, cat_channels)
+                     g_apply, g_apply_multi, l1_weight_map, cat_channels,
+                     bank_phase_gate)
 from .pools import init_pool, pool_query, pool_sample, pool_fill
 from .. import nn
 from ..nn.losses import gan_loss, gan_loss_multiclass, weighted_l1_loss, bce_loss
@@ -48,6 +49,12 @@ _PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '1') == '1'
 # space-to-depth packs disappear entirely.  SGAN_TPU_PHASE_G1=1 enables
 # (pending device A/B; correctness held by the equivalence test).
 _PHASE_G1 = os.environ.get('SGAN_TPU_PHASE_G1', '0') == '1'
+
+# Pack the (pixel) D2 pair input ONCE per bank apply and let every D2
+# member consume it phase-major — one relayout replaces one s2d per
+# scale-1 stem plus the scale>1 blurs' pixel reads.  SGAN_TPU_PHASE_D2=1
+# enables (pending device A/B).
+_PHASE_D2 = os.environ.get('SGAN_TPU_PHASE_D2', '0') == '1'
 
 
 class TwoStageCycleModel(TwoGroupModel):
@@ -235,6 +242,13 @@ class TwoStageCycleModel(TwoGroupModel):
             return (phase_to_space(taps['fake_A'], s1) if phase_g1
                     else taps['fake_A'])
 
+        # one-pack-per-bank-apply for the D2 pair inputs (see _PHASE_D2)
+        d2_nc = opt.output_nc if opt.no_cgan \
+            else opt.input_nc + opt.output_nc
+        d2_ok, d2_s = bank_phase_gate(netD2, d2_nc, opt.fineSize,
+                                      _PHASE_D2)
+        d2_pack = d2_s if d2_ok else 0
+
         def forward(params, inputs, noises, fkey):
             fk = [jax.random.fold_in(fkey, i) for i in range(8)]
             fake_A = g_apply(netG1, params['G1'], ctx(fk[0]),
@@ -343,9 +357,10 @@ class TwoStageCycleModel(TwoGroupModel):
             real = cat_pair(inputs['A'], inputs['B'])
             fakes = list(pairs.values())
             if can_batch:
-                outs = bank_apply_multi(netD2, pD, fakes + [real], ctx)
+                outs = bank_apply_multi(netD2, pD, fakes + [real], ctx,
+                                        pack_phase=d2_pack)
             else:
-                outs = [bank_apply(netD2, pD, x, ctx)
+                outs = [bank_apply(netD2, pD, x, ctx, pack_phase=d2_pack)
                         for x in fakes + [real]]
             if not multiclass:
                 loss_fake = sum(gan_loss(o_, False, lsgan2)
@@ -388,9 +403,12 @@ class TwoStageCycleModel(TwoGroupModel):
                                          taps['fake_B_from_fake_A']))
             num_pairs = len(g2_pairs)
             if can_batch:
-                g2_outs = bank_apply_multi(netD2, pD2, g2_pairs, ctx)
+                g2_outs = bank_apply_multi(netD2, pD2, g2_pairs, ctx,
+                                           pack_phase=d2_pack)
             else:
-                g2_outs = [bank_apply(netD2, pD2, x, ctx) for x in g2_pairs]
+                g2_outs = [bank_apply(netD2, pD2, x, ctx,
+                                      pack_phase=d2_pack)
+                           for x in g2_pairs]
             g2 = 0.0
             for outs in g2_outs:
                 for o_, lam in zip(outs, lambda_D2):

@@ -277,6 +277,31 @@ def test_twostage_cycle_phase_g1_equivalence(dataroot, tmp_path, monkeypatch):
                                    atol=2.0)
 
 
+def test_twostage_cycle_phase_d2_equivalence(dataroot, tmp_path,
+                                             monkeypatch):
+    """SGAN_TPU_PHASE_D2 packs the D2 pair input once per bank apply and
+    every member consumes it phase-major; losses/visuals must match the
+    per-stem pixel formulation."""
+    from supervised_gan_tpu.models import twostage_cycle as tsc
+    arch = TS_ARCH + ['--n_layers_D2', '2', '2', '--scale_factor2', '1',
+                      '2', '--lambda_D2', '0.5', '0.4', '--ndf2', '16',
+                      '--lambda_A', '10', '--lambda_B', '10',
+                      '--lambda_A_cycle', '5', '--lambda_fake_cycle', '1',
+                      '--GAN_losses_D2', 'real_fake', 'fake_fake',
+                      '--GAN_losses_G2', 'real_fake', 'fake_fake']
+    errs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(tsc, '_PHASE_D2', flag)
+        opt = TrainOptions().parse(base_args(
+            dataroot, str(tmp_path), 'tscd%d' % flag, 'twostage_cycle',
+            arch))
+        model, e_ = run_steps(opt)
+        errs[flag] = e_
+    for e0, e1 in zip(errs[False], errs[True]):
+        for k in e0:
+            np.testing.assert_allclose(e1[k], e0[k], rtol=5e-4, atol=1e-5)
+
+
 def test_twostage_phase_g1_equivalence(dataroot, tmp_path, monkeypatch):
     """The non-cycle twostage recipe under SGAN_TPU_PHASE_G1 (same pipeline
     as twostage_cycle's, through its own train step)."""
