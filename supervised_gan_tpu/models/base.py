@@ -184,9 +184,10 @@ class BaseModel:
         # list is global across processes)
         self.mesh = None
         n = int(getattr(opt, 'data_mesh', 0) or 0)
-        if n > 1:
+        n_sp = int(getattr(opt, 'spatial_mesh', 0) or 0)
+        if n > 1 or n_sp > 1:
             from ..parallel import make_mesh
-            self.mesh = make_mesh(n)
+            self.mesh = make_mesh(max(n, 1), n_sp=max(n_sp, 1))
 
     def jit_train_step(self, step_fn, state_template):
         """jit the recipe's train step; with --data_mesh N > 1 the step is

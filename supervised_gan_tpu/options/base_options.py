@@ -138,6 +138,8 @@ class BaseOptions:
                        help='dtype for conv compute: float32 | bfloat16 (params stay float32)')
         p.add_argument('--data_mesh', type=int, default=0,
                        help='if >0, shard the batch over this many devices (0 = all local devices when batchSize divides, else 1)')
+        p.add_argument('--spatial_mesh', type=int, default=0,
+                       help='if >1, spatially partition the image height over this many devices (batch-1 latency scaling; composes with --data_mesh into a 2-D mesh)')
         p.add_argument('--no_pallas', action='store_true', help='disable Pallas kernels (pure XLA path)')
         p.add_argument('--no_native_io', action='store_true', help='disable the C++ image decode path')
         p.add_argument('--dcn_coordinator', type=str, default='',

@@ -84,3 +84,56 @@ def test_mesh_matches_single_device_loss(dataroot, tmp_path):
 
     for k in e1:
         np.testing.assert_allclose(e1[k], e8[k], rtol=5e-3, atol=5e-4)
+
+
+SP_ARGS = ['--dataroot', '', '--name', 'sp', '--model', 'fcgan',
+           '--which_direction', 'A', '--dataset_mode', 'single',
+           '--loadSize', '32', '--fineSize', '32',
+           '--which_model_netG', 'deconv', '--n_layers_G', '3',
+           '--ngf', '8', '--which_model_netD', 'n_layers',
+           '--n_layers_D', '2', '2', '--ndf', '8',
+           '--scale_factor', '1', '2', '--lambda_D', '0.5', '0.4',
+           '--noise_nc', '4', '--noiseSize', '2', '--norm', 'instance',
+           '--no_dropout', '--no_lsgan', '--which_channel', 'rg_b',
+           '--manualSeed', '0', '--display_id', '0', '--pool_size', '4']
+
+
+def _run_two_steps(args, batch):
+    m = create_model(TrainOptions().parse(args))
+    for _ in range(2):
+        m.set_input(batch)
+        m.optimize_parameters()
+    return m, m.get_current_errors()
+
+
+def test_spatial_mesh_matches_single_device_loss(dataroot, tmp_path):
+    """--spatial_mesh 8 shards the image HEIGHT across the mesh (batch-1
+    latency scaling; GSPMD inserts the conv halo exchanges) — metrics
+    must equal the unsharded step's."""
+    args = list(SP_ARGS)
+    args[1] = dataroot
+    args += ['--batchSize', '1', '--checkpoints_dir', str(tmp_path)]
+    rng = np.random.RandomState(0)
+    batch = {'A': rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),
+             'A_paths': ['x.png']}
+    _, e1 = _run_two_steps(args + ['--name', 'sp_solo'], batch)
+    m8, e8 = _run_two_steps(args + ['--spatial_mesh', '8'], batch)
+    assert dict(m8.mesh.shape) == {'data': 1, 'sp': 8}
+    for k in e1:
+        np.testing.assert_allclose(e8[k], e1[k], rtol=5e-3, atol=5e-4)
+
+
+def test_data_x_spatial_mesh_2x4(dataroot, tmp_path):
+    """2-D ('data', 'sp') mesh: batch on 'data', height on 'sp'."""
+    args = list(SP_ARGS)
+    args[1] = dataroot
+    args += ['--batchSize', '2', '--checkpoints_dir', str(tmp_path)]
+    rng = np.random.RandomState(0)
+    batch = {'A': rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32),
+             'A_paths': ['x.png', 'y.png']}
+    _, e1 = _run_two_steps(args + ['--name', 'dsp_solo'], batch)
+    m24, e24 = _run_two_steps(
+        args + ['--data_mesh', '2', '--spatial_mesh', '4'], batch)
+    assert dict(m24.mesh.shape) == {'data': 2, 'sp': 4}
+    for k in e1:
+        np.testing.assert_allclose(e24[k], e1[k], rtol=5e-3, atol=5e-4)
