@@ -155,7 +155,7 @@ def bank_phase_gate(netDs, input_nc, spatial, enabled=True):
         if not isinstance(d, NLayerDiscriminator):
             return False, 1
         first = d.model.layers[0]
-        if first.in_nc != input_nc:
+        if input_nc is not None and first.in_nc != input_nc:
             return False, 1
         if d.scale_factor == 1:
             st, k, p = first.stride, first.kernel, first.padding
@@ -172,14 +172,27 @@ def bank_phase_gate(netDs, input_nc, spatial, enabled=True):
     return True, s
 
 
-def bank_apply(netDs, paramsD, x, ctx_factory, phase_in=0, pack_phase=0):
+# auto one-pack-per-bank for pixel D inputs (SGAN_TPU_PHASE_D2): when a
+# bank_apply caller passes no explicit phase/pack, gate on the bank
+# itself — every recipe's D sites inherit the packing with no wiring
+_PACK_BANK = os.environ.get('SGAN_TPU_PHASE_D2', '0') == '1'
+
+
+def bank_apply(netDs, paramsD, x, ctx_factory, phase_in=0, pack_phase=None):
     """Run every discriminator in a bank on x.
 
     phase_in = s > 0: x is phase-major (space_to_phase(·, s)); each D
     consumes it without a pixel interleave (NLayerDiscriminator.apply).
     pack_phase = s > 0: x is PIXEL; pack it once here (one relayout for
     the whole bank instead of one s2d per scale-1 stem) — callers gate
-    on bank_phase_gate."""
+    on bank_phase_gate.  pack_phase = None (default): decide here from
+    the bank under SGAN_TPU_PHASE_D2 (explicit 0 disables)."""
+    if pack_phase is None:
+        pack_phase = 0
+        if _PACK_BANK and not phase_in and x.shape[1] == x.shape[2]:
+            ok, s = bank_phase_gate(netDs, x.shape[-1], x.shape[1])
+            if ok:
+                pack_phase = s
     if pack_phase and not phase_in:
         from ..ops.edge_conv import space_to_phase
         x = space_to_phase(x, pack_phase)
@@ -193,7 +206,7 @@ def bank_apply(netDs, paramsD, x, ctx_factory, phase_in=0, pack_phase=0):
 
 
 def bank_apply_multi(netDs, paramsD, xs, ctx_factory, phase_in=0,
-                     pack_phase=0):
+                     pack_phase=None):
     """Run every discriminator once on the batch-stacked inputs.
 
     The recipes evaluate each D on several same-shaped tensors (fake pair,

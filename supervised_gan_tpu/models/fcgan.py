@@ -148,13 +148,12 @@ class FCGANModel(BaseModel):
             return netG.apply(pG, noise, ctx)
 
         def d_fwd(pD, x):
-            if phase_s:
-                return [netD[i].apply(pD[str(i)], x,
-                                      nn.Ctx(compute_dtype=cd),
-                                      phase_in=phase_s)
-                        for i in range(n_D)]
-            return [netD[i].apply(pD[str(i)], x, nn.Ctx(compute_dtype=cd))
-                    for i in range(n_D)]
+            # bank_apply inherits the SGAN_TPU_PHASE_D2 auto-pack when the
+            # phase pipeline isn't already feeding phase-major input
+            from .common import bank_apply
+            return bank_apply(netD, pD, x,
+                              lambda: nn.Ctx(compute_dtype=cd),
+                              phase_in=phase_s)
 
         def d_loss_fn(pD, fake, real):
             if phase_s:

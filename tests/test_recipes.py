@@ -103,6 +103,26 @@ def test_cgan(dataroot, tmp_path):
                                        'latest_net_G.pth'))
 
 
+def test_cgan_auto_pack_equivalence(dataroot, tmp_path, monkeypatch):
+    """SGAN_TPU_PHASE_D2's auto mode: bank_apply gates on the bank itself,
+    so the cgan recipe inherits the one-pack-per-bank phase path with no
+    recipe wiring; losses must match the pixel formulation."""
+    from supervised_gan_tpu.models import common as cm
+    arch = CGAN_ARCH + ['--n_layers_D', '2', '2', '--scale_factor', '1',
+                        '2', '--lambda_D', '0.5', '0.4', '--ndf', '16',
+                        '--weights', '2', '4']
+    errs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(cm, '_PACK_BANK', flag)
+        opt = TrainOptions().parse(base_args(
+            dataroot, str(tmp_path), 'cgp%d' % flag, 'cgan', arch))
+        model, e_ = run_steps(opt)
+        errs[flag] = e_
+    for e0, e1 in zip(errs[False], errs[True]):
+        for k in e0:
+            np.testing.assert_allclose(e1[k], e0[k], rtol=5e-4, atol=1e-5)
+
+
 def test_cgan_n_update_2(dataroot, tmp_path):
     """Engine resample path: n_update_D/G > 1 (regression: the G-resample
     branch once referenced an undefined symbol and crashed at trace time)."""
