@@ -88,6 +88,41 @@ def make_conv_case(xshape, wshape, s, p, mode="fwd"):
             args = (g, x, w)
         else:
             f, args = (lambda a, b: _e.head_convt(a, b, None, s, p)), (x, w)
+    elif mode in ("stemph", "stemphvjp"):
+        # stem_conv_phase: the conv's input arrives phase-major
+        import sys as _s, os as _o
+        _s.path.insert(0, _o.path.dirname(_o.path.dirname(
+            _o.path.abspath(__file__))))
+        from supervised_gan_tpu.ops import edge_conv as _e
+        xph = _e.space_to_phase(x, s)
+        if mode.endswith("vjp"):
+            y = jax.eval_shape(lambda a: conv(a, w, s, p), x)
+            g = jax.random.normal(_key(2), y.shape, DT)
+            def f(gv, a, b):
+                _, pull = jax.vjp(
+                    lambda xv, wv: _e.stem_conv_phase(xv, wv, None, s, p),
+                    a, b)
+                return pull(gv)
+            args = (g, xph, w)
+        else:
+            f, args = (lambda a, b: _e.stem_conv_phase(a, b, None, s, p)), \
+                (xph, w)
+    elif mode == "dwgcols":
+        import sys as _s, os as _o
+        _s.path.insert(0, _o.path.dirname(_o.path.dirname(
+            _o.path.abspath(__file__))))
+        from supervised_gan_tpu.ops import edge_conv as _e
+        y = jax.eval_shape(lambda a: conv(a, w, s, p), x)
+        g = jax.random.normal(_key(2), y.shape, DT)
+        f, args = (lambda gv, a: _e.dw_gcols(a, gv)), (g, x)
+    elif mode == "blurph":
+        import sys as _s, os as _o
+        _s.path.insert(0, _o.path.dirname(_o.path.dirname(
+            _o.path.abspath(__file__))))
+        from supervised_gan_tpu.ops import edge_conv as _e
+        from supervised_gan_tpu.ops.resample import blur_downsample_phase
+        xph = _e.space_to_phase(x, 2)
+        f, args = (lambda a: blur_downsample_phase(a, 2, s)), (xph,)
     elif mode in ("head", "stem", "mid", "headvjp", "stemvjp", "midvjp"):
         import sys as _s, os as _o
         _s.path.insert(0, _o.path.dirname(_o.path.dirname(
@@ -228,6 +263,17 @@ CASES = {
     "midvjp_k3s1_256px_64_64": ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "midvjp"),
     "midvjp_k3s1_256px_128_64": ((1, 256, 256, 128), (3, 3, 128, 64), 1, 1, "midvjp"),
     "midvjp_k3s1_128px_64_64": ((1, 128, 128, 64), (3, 3, 64, 64), 1, 1, "midvjp"),
+    # phase-major-input forms (A/B vs st_*/stvjp_* same shapes): the D1
+    # stems fed by the G1 phase head, and the D2 512px pair stems
+    "stph_k4s2_256px_2_32":    ((1, 256, 256, 2), (4, 4, 2, 32), 2, 1, "stemph"),
+    "stphvjp_k4s2_256px_2_32": ((1, 256, 256, 2), (4, 4, 2, 32), 2, 1, "stemphvjp"),
+    "stph_k4s2_512px_3_64":    ((1, 512, 512, 3), (4, 4, 3, 64), 2, 1, "stemph"),
+    "stphvjp_k4s2_512px_3_64": ((1, 512, 512, 3), (4, 4, 3, 64), 2, 1, "stemphvjp"),
+    # single-dot gcols dw (A/B vs dw_k3s1_* same shapes)
+    "dwg_k3s1_256px_64_64":    ((1, 256, 256, 64), (3, 3, 64, 64), 1, 1, "dwgcols"),
+    "dwg_k3s1_512px_64_64":    ((1, 512, 512, 64), (3, 3, 64, 64), 1, 1, "dwgcols"),
+    # phase-input blur front-end (s field = scale_factor here)
+    "blurph_256px_c2_x2":      ((1, 256, 256, 2), (1, 1, 2, 2), 2, 0, "blurph"),
 }
 
 
