@@ -30,8 +30,9 @@ from ..utils.images import tensor2im
 
 # Same trick as models/twostage_cycle.py: the reconstructor (G2) outputs
 # feed only elementwise BCE losses, so they stay phase-major and the
-# gradient-free targets are space_to_phase'd instead.
-_PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '1') == '1'
+# gradient-free targets are space_to_phase'd instead.  Measured device
+# NEGATIVE (see twostage_cycle.py / BENCH_NOTES round 3) — default OFF.
+_PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '0') == '1'
 
 
 class CGANCycleModel(TwoGroupModel):

@@ -30,8 +30,9 @@ from ..utils.images import tensor2im
 # Phase-major label pipeline (see models/twostage_cycle.py _PHASE_G1): in
 # this recipe the D bank and pool are G's ONLY consumers inside the step,
 # so the head's pixel interleave disappears from the train program
-# entirely — fakes interleave once, at display boundaries.
-_PHASE_G = os.environ.get('SGAN_TPU_PHASE_G1', '0') == '1'
+# entirely — fakes interleave once, at display boundaries.  Default ON
+# (BENCH_NOTES round 3 A/B).
+_PHASE_G = os.environ.get('SGAN_TPU_PHASE_G1', '1') == '1'
 
 
 class FCGANModel(BaseModel):

@@ -26,8 +26,9 @@ from ..nn.losses import gan_loss, gan_loss_multiclass, weighted_l1_loss
 from ..ops.edge_conv import space_to_phase, phase_to_space
 from ..utils.images import tensor2im
 
-# Phase-major label pipeline (see models/twostage_cycle.py _PHASE_G1)
-_PHASE_G1 = os.environ.get('SGAN_TPU_PHASE_G1', '0') == '1'
+# Phase-major label pipeline (see models/twostage_cycle.py _PHASE_G1);
+# default ON (BENCH_NOTES round 3 A/B).
+_PHASE_G1 = os.environ.get('SGAN_TPU_PHASE_G1', '1') == '1'
 
 
 class TwoStageModel(TwoGroupModel):

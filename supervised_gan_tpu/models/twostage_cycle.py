@@ -38,22 +38,26 @@ from ..utils.images import tensor2im
 # Keep the F2 cycle outputs phase-major inside the train step: their only
 # consumers are elementwise BCE losses, so the co=2 pixel interleave (fwd)
 # and cotangent space-to-depth (bwd) are pure formatting — the gradient-free
-# loss TARGETS are space_to_phase'd instead (round-3 trace: ~2 ms/step of
-# 2-lane relayouts at the 512px heads).  SGAN_TPU_PHASE_F2=0 reverts.
-_PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '1') == '1'
+# loss TARGETS are space_to_phase'd instead.  Measured NEGATIVE (BENCH_NOTES
+# round 3): the phase-major (q,r,co) loss/dw consumers become cross-layout
+# {4,3,2,1,5,0}->{4,2,3,1,5,0} kLoop fusions at ~5 GB/s (fusion.142 alone
+# 2.2 ms/step) — +3.5 ms device vs the pixel interleave.  Default OFF.
+_PHASE_F2 = os.environ.get('SGAN_TPU_PHASE_F2', '0') == '1'
 
 # Phase-major label-space pipeline: G1's convT head emits its dense dot's
 # natural phase-major tensor, pool1 stores it, and the D1 bank consumes it
 # in place (stem_conv_phase / blur_downsample_phase) — the G1-head pixel
 # interleave survives only for the transform() consumers, and the D1-side
-# space-to-depth packs disappear entirely.  SGAN_TPU_PHASE_G1=1 enables
-# (pending device A/B; correctness held by the equivalence test).
-_PHASE_G1 = os.environ.get('SGAN_TPU_PHASE_G1', '0') == '1'
+# space-to-depth packs disappear entirely.  Measured +0.2 ms device
+# (BENCH_NOTES round 3 A/B, arms h/i) — default ON; SGAN_TPU_PHASE_G1=0
+# reverts (correctness held by the equivalence test either way).
+_PHASE_G1 = os.environ.get('SGAN_TPU_PHASE_G1', '1') == '1'
 
 # Pack the (pixel) D2 pair input ONCE per bank apply and let every D2
 # member consume it phase-major — one relayout replaces one s2d per
-# scale-1 stem plus the scale>1 blurs' pixel reads.  SGAN_TPU_PHASE_D2=1
-# enables (pending device A/B).
+# scale-1 stem plus the scale>1 blurs' pixel reads.  Measured NEGATIVE
+# (+1.55 ms device, BENCH_NOTES round 3 A/B arm d): the shared pack
+# de-fuses the per-stem s2d from its conv.  Default OFF.
 _PHASE_D2 = os.environ.get('SGAN_TPU_PHASE_D2', '0') == '1'
 
 
