@@ -210,7 +210,9 @@ class BaseModel:
             # fewer, larger argument leaves: the relay's dispatch cost
             # scales with arg count (models/packing.py docstring)
             return StatePacker(state_template).wrap(step_fn)
-        return jax.jit(step_fn, donate_argnums=(0,))
+        from ..runtime import compiler_options_from_env
+        return jax.jit(step_fn, donate_argnums=(0,),
+                       compiler_options=compiler_options_from_env())
 
     # ------------------------------------------------- multi-step scan -- #
     # One device dispatch per K training iterations: lax.scan over the
@@ -303,7 +305,10 @@ class BaseModel:
                     last = jax.tree_util.tree_map(lambda a: a[-1], ys)
                     return state, last[0], last[1]
 
-            self._multi_steps[k] = jax.jit(multi, donate_argnums=(0,))
+            from ..runtime import compiler_options_from_env
+            self._multi_steps[k] = jax.jit(
+                multi, donate_argnums=(0,),
+                compiler_options=compiler_options_from_env())
         import numpy as _np
         ns = _np.asarray(
             [2 * (self._step_count + 1 + i) + 1 for i in range(k)],

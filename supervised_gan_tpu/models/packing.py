@@ -122,7 +122,9 @@ class StatePacker:
                                         lrs)
             return self.pack(st), metrics, taps
 
-        pjit_step = jax.jit(packed_step, donate_argnums=(0,))
+        from ..runtime import compiler_options_from_env
+        pjit_step = jax.jit(packed_step, donate_argnums=(0,),
+                            compiler_options=compiler_options_from_env())
 
         def call(state, inputs, key, lrs):
             if isinstance(state, PackedState):

@@ -466,6 +466,11 @@ def _dw_9dot(x, g):
 
 
 _DW_MODE = _os.environ.get('SGAN_TPU_CONV3_DW', '9dot')
+# dx form under the dot-dw modes: 'pallas' (the forward pixel-packed
+# kernel on the flipped/io-transposed weights — DEFAULT, measured
+# 34.05 -> 33.39 ms device on the DSGAN bench, BENCH_NOTES round 3
+# batch 3) | 'xla' (conv_general_dilated — keeps XLA's epilogue fusions)
+_DX_MODE = _os.environ.get('SGAN_TPU_CONV3_DX', 'pallas')
 
 
 def _xla_conv(x, w, b):
@@ -514,7 +519,13 @@ def _vjp_bwd(res, g):
         # dots (9dot) or one pre-transposed single dot (gcols — see
         # ops/edge_conv.dw_gcols)
         w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-        dx = _xla_conv(g, w_flip, None)
+        if _DX_MODE == 'pallas' and supported(g, w_flip, 1, 1):
+            # dx through the pixel-packed forward kernel (same geometry
+            # as the primal conv); trades the XLA conv's epilogue
+            # fusions for the kernel's higher MXU rate — A/B gated.
+            dx = _conv3x3_fwd(g, w_flip, None)
+        else:
+            dx = _xla_conv(g, w_flip, None)
         if _DW_MODE == 'gcols':
             from ..edge_conv import dw_gcols
             dw = dw_gcols(x, g).astype(w.dtype)

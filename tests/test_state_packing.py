@@ -95,3 +95,17 @@ def test_packed_state_view_save_resume(tmp_path, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compiler_options_from_env(monkeypatch):
+    from supervised_gan_tpu.runtime import compiler_options_from_env
+    monkeypatch.delenv('SGAN_TPU_COMPILER_OPTIONS', raising=False)
+    assert compiler_options_from_env() is None
+    monkeypatch.setenv('SGAN_TPU_COMPILER_OPTIONS',
+                       'xla_tpu_scoped_vmem_limit_kib=65536; a_b=c=d ;')
+    assert compiler_options_from_env() == {
+        'xla_tpu_scoped_vmem_limit_kib': '65536', 'a_b': 'c=d'}
+    monkeypatch.setenv('SGAN_TPU_COMPILER_OPTIONS', 'novalue')
+    import pytest
+    with pytest.raises(ValueError):
+        compiler_options_from_env()
