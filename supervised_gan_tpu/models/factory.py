@@ -5,6 +5,12 @@ reachable)."""
 
 
 def create_model(opt):
+    if getattr(opt, 'data_mesh', 0) or getattr(opt, 'spatial_mesh', 0):
+        # pallas_call does not auto-partition under pjit: the streaming
+        # IN kernels (N-batched grids) must not see mesh-global shapes.
+        # The conv kernels self-gate on n == 1 / full-height geometry.
+        from ..ops.pallas import instance_norm as _sin
+        _sin._IN_STREAM = False
     model = None
     print(opt.model)
     if opt.model == 'fcgan':

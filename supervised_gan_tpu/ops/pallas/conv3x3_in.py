@@ -144,6 +144,13 @@ def _fwd_impl(x, w, b, eps):
 
 
 def _norm_act(y, mean, rstd, slope):
+    from . import instance_norm as inorm
+    if inorm._IN_STREAM and (inorm._INTERPRET or p3._INTERPRET
+                             or jax.default_backend() == 'tpu') \
+            and inorm.stream_supported(y):
+        # one streamed bf16 pass (see instance_norm.py: the XLA form
+        # materializes the shared f32 normalize chain)
+        return inorm.stream_apply(y, mean[None], rstd[None], slope)
     z = (y.astype(jnp.float32) - mean) * rstd
     if slope is not None:
         z = jnp.where(z >= 0, z, z * slope)
@@ -167,14 +174,21 @@ def _vjp_fwd(x, w, b, eps, slope):
 
 def _vjp_bwd(eps, slope, res, g):
     x, w, has_b, y, mean, rstd = res
-    g = g.astype(jnp.float32)
-    z = (y.astype(jnp.float32) - mean) * rstd      # normalized value
-    if slope is not None:
-        g = jnp.where(z >= 0, g, g * slope)        # act backward
-    # IN backward (per-channel spatial reductions)
-    gm = jnp.mean(g, axis=(1, 2), keepdims=True)
-    gzm = jnp.mean(g * z, axis=(1, 2), keepdims=True)
-    dconv = (rstd * (g - gm - z * gzm)).astype(x.dtype)
+    from . import instance_norm as inorm
+    if inorm._IN_STREAM and (inorm._INTERPRET or p3._INTERPRET
+                             or jax.default_backend() == 'tpu') \
+            and inorm.stream_supported(y):
+        # act bwd + IN bwd as two streamed bf16 passes over (y, g)
+        dconv = inorm.stream_norm_bwd(y, g, mean[None], rstd[None], slope)
+    else:
+        g = g.astype(jnp.float32)
+        z = (y.astype(jnp.float32) - mean) * rstd  # normalized value
+        if slope is not None:
+            g = jnp.where(z >= 0, g, g * slope)    # act backward
+        # IN backward (per-channel spatial reductions)
+        gm = jnp.mean(g, axis=(1, 2), keepdims=True)
+        gzm = jnp.mean(g * z, axis=(1, 2), keepdims=True)
+        dconv = (rstd * (g - gm - z * gzm)).astype(x.dtype)
     # conv backward: pallas dx + nine-dot dw
     w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     dx = p3._conv3x3_fwd(dconv, w_flip, None)

@@ -22,6 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
 
 
 def pallas_available():
@@ -98,6 +99,10 @@ def fused_instance_norm_act(x, eps=1e-5, slope=None):
 
 
 def _fwd(x, eps, slope):
+    if _IN_STREAM and (_INTERPRET or jax.default_backend() == 'tpu') \
+            and stream_supported(x):
+        y, mean, rstd = _stream_fwd(x, eps, slope)
+        return y, (x, mean, rstd)
     # residuals carry the (tiny) per-channel stats so the backward skips
     # the full statistics pass over x (one read instead of two).
     # Same no-shared-x32 rule as _xla_fallback: per-consumer converts.
@@ -126,12 +131,14 @@ def _fwd(x, eps, slope):
 
 
 def _bwd(eps, slope, res, g):
+    x, mean, inv = res
+    if mean.ndim == 2:      # streaming-backend residuals: (N, C) stats
+        return (_stream_bwd(x, g, mean, inv, slope),)
     # Keep multi-consumer intermediates in x.dtype (bf16 in the bench
     # step): a shared f32 xhat / g' node gets materialized at 2x the
     # bytes and relayouted between its consumer fusions.  xhat() makes a
     # fresh elementwise subgraph per consumer so each fusion recomputes
     # it from the bf16 x (free — these fusions are bandwidth-bound).
-    x, mean, inv = res
 
     def xhat():
         return (x.astype(jnp.float32) - mean) * inv
@@ -148,3 +155,226 @@ def _bwd(eps, slope, res, g):
 
 
 fused_instance_norm_act.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------- #
+# Streaming Mosaic backend (SGAN_TPU_IN_STREAM)
+#
+# The XLA forms above still materialize f32 planes: the normalize chain
+# (x32 - mean) * inv has several consumers (output cast, VJP recompute),
+# and XLA shares ONE f32 node between their fusions — profiled 64 MB
+# f32[512,512,64] buffers + async relayout copies at instance_norm.py:116
+# (~2+ ms/step across the bench's IN sites, round-3 o_newdef trace).
+#
+# These kernels never leave bf16 in HBM: each pass streams row blocks
+# through VMEM (BlockSpec auto-pipelining — the round-2 whole-plane
+# kernel defeated pipelining, which is why it lost), upcasting to f32
+# only inside the block.  Cost is the streaming minimum: fwd = 2 reads +
+# 1 write of the plane; bwd = 2 reads of (x, g) + 1 write.
+#
+# Lane mapping: the (N, H, W, C) plane is viewed 2-D as (rows, L) with
+#   * C % 128 == 0: L = C (free reshape, lanes = channels), stats fold
+#     over nothing;
+#   * 128 % C == 0: L = 128 holding P = 128/C pixel groups of the C
+#     channels (free reshape, requires (W * C) % 128 == 0), stats fold
+#     the P groups, mean/rstd rows are tiled back P times.
+#
+# MEASURED NEGATIVE (round-3 q_instream arm): 55.08 ms device vs 33.39
+# baseline (-21.7 ms).  Pulling the IN sites out of XLA's fusions is a
+# program-wide de-fusion: the producers/consumers that used to fuse the
+# normalize chain into themselves become standalone low-bandwidth
+# fusions (28-50 GB/s fusion.* blocks all over the q_instream trace),
+# costing far more than the f32 materialization saved.  Kept as a
+# tested, default-OFF path; the interpret-mode parity tests in
+# tests/test_fused_norm.py keep it honest.
+# --------------------------------------------------------------------- #
+
+_IN_STREAM = os.environ.get('SGAN_TPU_IN_STREAM', '0') == '1'
+_INTERPRET = False      # set True in tests to run the kernels on CPU
+
+
+def _set_interpret(flag):
+    global _INTERPRET
+    _INTERPRET = bool(flag)
+
+
+def stream_supported(x):
+    if x.ndim != 4:
+        return False
+    n, h, w, c = x.shape
+    if c % 128 and (128 % c or (w * c) % 128):
+        return False
+    rows = (h * w * c) // max(c, 128)
+    return rows > 0 and _rows_block(rows) is not None
+
+
+def _rows_block(rows):
+    """Rows per grid step: a divisor of `rows` near 512 sublanes."""
+    for rb in (512, 256, 128, 64, 32, 16, 8):
+        if rows % rb == 0:
+            return rb
+    return None
+
+
+def _geom(x):
+    n, h, w, c = x.shape
+    L = c if c % 128 == 0 else 128
+    rows = h * w * c // L
+    rb = _rows_block(rows)
+    return n, rows, rb, L, (128 // c if c < 128 else 1)
+
+
+def _fwd_stats_kernel(x_ref, st_ref):
+    j = pl.program_id(1)
+    xf = x_ref[0].astype(jnp.float32)
+    st = jnp.concatenate([jnp.sum(xf, 0, keepdims=True),
+                          jnp.sum(xf * xf, 0, keepdims=True)], 0)
+
+    @pl.when(j == 0)
+    def _():
+        st_ref[0] = st
+
+    @pl.when(j > 0)
+    def _():
+        st_ref[0] += st
+
+
+def _fwd_apply_kernel(x_ref, m_ref, r_ref, o_ref, *, slope):
+    z = (x_ref[0].astype(jnp.float32) - m_ref[0]) * r_ref[0]
+    if slope is not None:
+        z = jnp.where(z >= 0, z, z * slope)
+    o_ref[0] = z.astype(o_ref.dtype)
+
+
+def _bwd_stats_kernel(x_ref, g_ref, m_ref, r_ref, st_ref, *, slope):
+    j = pl.program_id(1)
+    xhat = (x_ref[0].astype(jnp.float32) - m_ref[0]) * r_ref[0]
+    gp = g_ref[0].astype(jnp.float32)
+    if slope is not None:
+        gp = jnp.where(xhat >= 0, gp, gp * slope)
+    st = jnp.concatenate([jnp.sum(gp, 0, keepdims=True),
+                          jnp.sum(gp * xhat, 0, keepdims=True)], 0)
+
+    @pl.when(j == 0)
+    def _():
+        st_ref[0] = st
+
+    @pl.when(j > 0)
+    def _():
+        st_ref[0] += st
+
+
+def _bwd_apply_kernel(x_ref, g_ref, m_ref, r_ref, gm_ref, gz_ref, o_ref,
+                      *, slope):
+    xhat = (x_ref[0].astype(jnp.float32) - m_ref[0]) * r_ref[0]
+    gp = g_ref[0].astype(jnp.float32)
+    if slope is not None:
+        gp = jnp.where(xhat >= 0, gp, gp * slope)
+    dx = (gp - gm_ref[0] - xhat * gz_ref[0]) * r_ref[0]
+    o_ref[0] = dx.astype(o_ref.dtype)
+
+
+def _row_spec(rb, L):
+    return pl.BlockSpec((1, rb, L), lambda n, j: (n, j, 0))
+
+
+def _lane_spec(L):
+    return pl.BlockSpec((1, 1, L), lambda n, j: (n, 0, 0))
+
+
+def _fold_stats(st, P, C):
+    """(N, 2, L) f32 kernel sums -> per-channel (N, 1, 1, C) means."""
+    if P == 1:
+        return st[:, 0], st[:, 1]
+    return (jnp.sum(st[:, 0].reshape(-1, P, C), 1),
+            jnp.sum(st[:, 1].reshape(-1, P, C), 1))
+
+
+def _lane_rows(v, P):
+    """(N, C) f32 -> (N, 1, L) rows for the kernels (tile the P groups)."""
+    if P > 1:
+        v = jnp.tile(v, (1, P))
+    return v[:, None, :]
+
+
+def _stream_stats(x2, N, rows, rb, L):
+    return pl.pallas_call(
+        _fwd_stats_kernel,
+        grid=(N, rows // rb),
+        in_specs=[_row_spec(rb, L)],
+        out_specs=pl.BlockSpec((1, 2, L), lambda n, j: (n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 2, L), jnp.float32),
+        interpret=_INTERPRET,
+    )(x2)
+
+
+def _stream_mean_rstd(x2, N, rows, rb, L, P, C, npix, eps):
+    st = _stream_stats(x2, N, rows, rb, L)
+    s1, s2 = _fold_stats(st, P, C)
+    mean = s1 / npix
+    var = jnp.maximum(s2 / npix - mean * mean, 0.0)
+    return mean, lax.rsqrt(var + eps)
+
+
+def stream_apply(x, mean, rstd, slope):
+    """act((x - mean) * rstd) with all HBM traffic in x.dtype.
+    x: (N,H,W,C); mean, rstd: (N,C) f32."""
+    N, H, W, C = x.shape
+    _, rows, rb, L, P = _geom(x)
+    x2 = x.reshape(N, rows, L)
+    mrow, rrow = _lane_rows(mean, P), _lane_rows(rstd, P)
+    y2 = pl.pallas_call(
+        functools.partial(_fwd_apply_kernel, slope=slope),
+        grid=(N, rows // rb),
+        in_specs=[_row_spec(rb, L), _lane_spec(L), _lane_spec(L)],
+        out_specs=_row_spec(rb, L),
+        out_shape=jax.ShapeDtypeStruct((N, rows, L), x.dtype),
+        interpret=_INTERPRET,
+    )(x2, mrow, rrow)
+    return y2.reshape(x.shape)
+
+
+def _stream_fwd(x, eps, slope):
+    """Returns (y, mean (N,C), rstd (N,C)); all HBM traffic in x.dtype."""
+    N, H, W, C = x.shape
+    _, rows, rb, L, P = _geom(x)
+    x2 = x.reshape(N, rows, L)
+    mean, rstd = _stream_mean_rstd(x2, N, rows, rb, L, P, C, H * W, eps)
+    return stream_apply(x, mean, rstd, slope), mean, rstd
+
+
+def _stream_bwd(x, g, mean, rstd, slope):
+    N, H, W, C = x.shape
+    _, rows, rb, L, P = _geom(x)
+    x2 = x.reshape(N, rows, L)
+    g2 = g.reshape(N, rows, L)
+    mrow, rrow = _lane_rows(mean, P), _lane_rows(rstd, P)
+    st = pl.pallas_call(
+        functools.partial(_bwd_stats_kernel, slope=slope),
+        grid=(N, rows // rb),
+        in_specs=[_row_spec(rb, L), _row_spec(rb, L), _lane_spec(L),
+                  _lane_spec(L)],
+        out_specs=pl.BlockSpec((1, 2, L), lambda n, j: (n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 2, L), jnp.float32),
+        interpret=_INTERPRET,
+    )(x2, g2, mrow, rrow)
+    s1, s2 = _fold_stats(st, P, C)
+    npix = float(H * W)
+    gmrow = _lane_rows(s1 / npix, P)
+    gzrow = _lane_rows(s2 / npix, P)
+    dx2 = pl.pallas_call(
+        functools.partial(_bwd_apply_kernel, slope=slope),
+        grid=(N, rows // rb),
+        in_specs=[_row_spec(rb, L), _row_spec(rb, L), _lane_spec(L),
+                  _lane_spec(L), _lane_spec(L), _lane_spec(L)],
+        out_specs=_row_spec(rb, L),
+        out_shape=jax.ShapeDtypeStruct((N, rows, L), x.dtype),
+        interpret=_INTERPRET,
+    )(x2, g2, mrow, rrow, gmrow, gzrow)
+    return dx2.reshape(x.shape)
+
+
+# IN-only backward given (x, cotangent, stats) — also the dconv of a
+# fused conv+IN+act region when called with x = the conv output
+# (ops/pallas/conv3x3_in.py).
+stream_norm_bwd = _stream_bwd

@@ -60,3 +60,77 @@ def test_sequential_peephole_dispatch():
     finally:
         nn_core.set_pallas_enabled(old)
     np.testing.assert_allclose(y0, y1, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------- streaming Mosaic backend ------------------- #
+
+@pytest.mark.parametrize("shape,slope", [
+    ((1, 16, 16, 64), 0.2),     # P=2 pixel packing
+    ((2, 8, 16, 32), None),     # P=4, batched
+    ((1, 8, 8, 128), 0.0),      # L = C
+    ((1, 8, 8, 256), 0.2),      # C > 128
+])
+def test_stream_fwd_bwd_matches(monkeypatch, shape, slope):
+    """SGAN_TPU_IN_STREAM kernels (interpret mode) == the XLA form."""
+    from supervised_gan_tpu.ops.pallas import instance_norm as sin
+    x = jax.random.normal(jax.random.PRNGKey(2), shape) * 2 + 0.5
+    x = x.astype(jnp.bfloat16)
+    g = jax.random.normal(jax.random.PRNGKey(3), shape).astype(jnp.bfloat16)
+    assert sin.stream_supported(x)
+
+    def run():
+        def loss(x):
+            return jnp.sum(fused_instance_norm_act(x, 1e-5, slope)
+                           * g.astype(jnp.float32))
+        y = fused_instance_norm_act(x, 1e-5, slope)
+        return y, jax.grad(loss)(x)
+
+    y_ref, dx_ref = run()
+    monkeypatch.setattr(sin, '_IN_STREAM', True)
+    monkeypatch.setattr(sin, '_INTERPRET', True)
+    y_s, dx_s = run()
+    np.testing.assert_allclose(np.asarray(y_s, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dx_s, np.float32),
+                               np.asarray(dx_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_stream_unsupported_shapes():
+    from supervised_gan_tpu.ops.pallas import instance_norm as sin
+    assert not sin.stream_supported(jnp.zeros((1, 16, 16, 48)))   # 128 % 48
+    assert not sin.stream_supported(jnp.zeros((1, 3, 3, 64)))     # rows % 8
+    assert not sin.stream_supported(jnp.zeros((1, 16, 3, 64)))    # (W*C)%128
+
+
+def test_stream_conv3x3_in_region(monkeypatch):
+    """conv3x3_in_act with the streaming norm backend == without."""
+    from supervised_gan_tpu.ops.pallas import instance_norm as sin
+    from supervised_gan_tpu.ops.pallas import conv3x3 as p3
+    from supervised_gan_tpu.ops.pallas import conv3x3_in as p3in
+    monkeypatch.setattr(p3, '_INTERPRET', True)
+    key = jax.random.PRNGKey(5)
+    x = (jax.random.normal(key, (1, 16, 16, 64)) * 0.7).astype(jnp.bfloat16)
+    w = (jax.random.normal(jax.random.PRNGKey(6), (3, 3, 64, 64))
+         * 0.05).astype(jnp.bfloat16)
+    b = jnp.zeros((64,), jnp.bfloat16)
+    g = jax.random.normal(jax.random.PRNGKey(7), x.shape)
+
+    def run():
+        def loss(x, w, b):
+            return jnp.sum(p3in.conv3x3_in_act(x, w, b, 1e-5, 0.2)
+                           * g.astype(jnp.float32))
+        y = p3in.conv3x3_in_act(x, w, b, 1e-5, 0.2)
+        return (y,) + jax.grad(loss, argnums=(0, 1))(x, w, b)
+
+    # interpret-mode pallas needs the min-pixels gate lowered
+    monkeypatch.setattr(p3, '_MIN_PIXELS', 0)
+    y_ref, dx_ref, dw_ref = run()
+    monkeypatch.setattr(sin, '_IN_STREAM', True)
+    monkeypatch.setattr(sin, '_INTERPRET', True)
+    y_s, dx_s, dw_s = run()
+    for a, r in ((y_s, y_ref), (dx_s, dx_ref), (dw_s, dw_ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=3e-2, atol=3e-2)
