@@ -244,6 +244,52 @@ def _w_s2d_inv(dw2, k, stride, ci, co):
     return d6.reshape(k, k, ci, co)
 
 
+# SGAN_TPU_S2D=rows: build the strided-conv patches by H-deinterleave
+# instead of the 6-D space-to-depth transpose.  The canonical form's
+# (hp/s, s, wp/s, s, ci) -> (hp/s, wp/s, s, s, ci) transpose interleaves
+# two row streams at s*ci-element granularity — 2-6 lanes at the ci<=3
+# D stems, profiled 21 GB/s reshape+copy pairs (0.26 ms/site/step,
+# round-3 o_newdef trace at edge_conv.py:219-220).  Here dy never enters
+# the lane dim: per dy, xp[:, dy::s] takes full-row strided slices (row
+# = wp*ci contiguous elements) and every remaining tap is a free view;
+# channel order becomes (dy, a, b, dx, c) with the weight reorder and
+# dw inverse adjusted to match.  Gated for device A/B.
+_S2D_MODE = _os.environ.get('SGAN_TPU_S2D', 'xpose')
+
+
+def _im2col_s2d_rows(x, k, stride, padding, oh, ow):
+    n, h, wd, ci = x.shape
+    s = stride
+    xp = _pad_hw(x, padding, padding)
+    hp, wp = h + 2 * padding, wd + 2 * padding
+    t = k // s
+    cols = []
+    for dy in range(s):
+        xd = lax.slice(xp, (0, dy, 0, 0), (n, hp, wp, ci), (1, s, 1, 1))
+        xv = xd.reshape(n, hp // s, wp // s, s * ci)
+        for a in range(t):
+            for b in range(t):
+                cols.append(xv[:, a:a + oh, b:b + ow, :])
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _w_s2d_rows(w, stride):
+    """(k, k, ci, co) -> (k*k*ci, co) in _im2col_s2d_rows's channel order
+    (dy, a, b, dx, c)."""
+    k, _, ci, co = w.shape
+    s = stride
+    t = k // s
+    w6 = w.reshape(t, s, t, s, ci, co)           # (a, dy, b, dx, c, o)
+    return w6.transpose(1, 0, 2, 3, 4, 5).reshape(k * k * ci, co)
+
+
+def _w_s2d_rows_inv(dw2, k, stride, ci, co):
+    s = stride
+    t = k // s
+    d6 = dw2.reshape(s, t, t, s, ci, co).transpose(1, 0, 2, 3, 4, 5)
+    return d6.reshape(k, k, ci, co)
+
+
 def stem_conv_supported(x, w, stride, padding):
     kh, kw, ci, co = w.shape
     return (ci <= STEM_MAX_CI and co >= 16 and kh == kw
@@ -284,6 +330,9 @@ def _stem_patches_w(x, w, stride, padding, oh, ow):
     if stride == 1:
         return (_im2col(x, kh, kh, 1, padding, oh, ow),
                 w.reshape(-1, w.shape[3]))
+    if _S2D_MODE == 'rows':
+        return (_im2col_s2d_rows(x, kh, stride, padding, oh, ow),
+                _w_s2d_rows(w, stride))
     return (_im2col_s2d(x, kh, stride, padding, oh, ow),
             _w_s2d(w, stride))
 
@@ -323,6 +372,8 @@ def _stem_vjp_bwd(stride, padding, res, g):
         dimension_numbers=(((0,), (0,)), ((), ())))
     if stride == 1:
         dw = dw.reshape(kh, kw, ci, co).astype(w.dtype)
+    elif _S2D_MODE == 'rows':
+        dw = _w_s2d_rows_inv(dw, kh, stride, ci, co).astype(w.dtype)
     else:
         dw = _w_s2d_inv(dw, kh, stride, ci, co).astype(w.dtype)
     s = stride

@@ -28,6 +28,7 @@ activation may be absent (slope=None).
 """
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import conv3x3 as p3
+
+# Region-scoped streaming norm: the GLOBAL streaming-IN backend
+# (SGAN_TPU_IN_STREAM) measured a -21.7 ms de-fusion negative, but inside
+# THIS region the normalize sits between two pallas custom calls (the
+# conv kernel and its dx), so there is no XLA fusion to destroy — the
+# streamed bf16 passes replace the f32-materializing XLA chain at the
+# region boundary only.  Default ON (the region itself is gated by
+# SGAN_TPU_CONV3_IN); SGAN_TPU_CONV3_IN_STREAM=0 restores the XLA norm.
+_REGION_STREAM = _os.environ.get('SGAN_TPU_CONV3_IN_STREAM', '1') == '1'
+
+
+def _stream_ok(y):
+    # inorm._INTERPRET (not p3's) gates the CPU path: the stream kernels
+    # run with interpret=inorm._INTERPRET, so a region test that only
+    # interprets the conv must keep the XLA norm.
+    from . import instance_norm as inorm
+    return ((inorm._IN_STREAM or _REGION_STREAM)
+            and (inorm._INTERPRET or jax.default_backend() == 'tpu')
+            and inorm.stream_supported(y))
 
 
 def supported(x, w, stride, padding):
@@ -145,9 +165,7 @@ def _fwd_impl(x, w, b, eps):
 
 def _norm_act(y, mean, rstd, slope):
     from . import instance_norm as inorm
-    if inorm._IN_STREAM and (inorm._INTERPRET or p3._INTERPRET
-                             or jax.default_backend() == 'tpu') \
-            and inorm.stream_supported(y):
+    if _stream_ok(y):
         # one streamed bf16 pass (see instance_norm.py: the XLA form
         # materializes the shared f32 normalize chain)
         return inorm.stream_apply(y, mean[None], rstd[None], slope)
@@ -175,9 +193,7 @@ def _vjp_fwd(x, w, b, eps, slope):
 def _vjp_bwd(eps, slope, res, g):
     x, w, has_b, y, mean, rstd = res
     from . import instance_norm as inorm
-    if inorm._IN_STREAM and (inorm._INTERPRET or p3._INTERPRET
-                             or jax.default_backend() == 'tpu') \
-            and inorm.stream_supported(y):
+    if _stream_ok(y):
         # act bwd + IN bwd as two streamed bf16 passes over (y, g)
         dconv = inorm.stream_norm_bwd(y, g, mean[None], rstd[None], slope)
     else:

@@ -263,3 +263,15 @@ def test_trunk_convt_gates():
     x = jnp.zeros((1, 0, 0, 32), jnp.float32)            # empty spatial
     w = jnp.zeros((4, 4, 32, 32), jnp.float32)
     assert not e.trunk_convt_supported(x, w, 2, 1)
+
+
+# SGAN_TPU_S2D=rows: H-deinterleave patch builder must match the
+# canonical space-to-depth form (fwd + all grads) at the stem shapes.
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (32, 3, 64, 4, 2, 1), (32, 2, 32, 4, 2, 1), (32, 1, 32, 4, 2, 1)])
+def test_stem_conv_s2d_rows(monkeypatch, H, Ci, Co, k, s, p):
+    x, w, b = _mk(H, Ci, Co, k)
+    monkeypatch.setattr(e, '_S2D_MODE', 'rows')
+    assert e.stem_conv_supported(x, w, s, p)
+    _check(lambda x, w, b: e.stem_conv(x, w, b, s, p),
+           lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
