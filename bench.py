@@ -218,6 +218,10 @@ def main():
         pass
 
     from supervised_gan_tpu.ops import conv as conv_mod
+    from supervised_gan_tpu.ops import edge_conv as edge_mod
+    from supervised_gan_tpu.ops.pallas import conv3x3 as p3_mod
+    from supervised_gan_tpu.ops.pallas import instance_norm as inorm_mod
+    from supervised_gan_tpu.nn import core as core_mod
     errors = model.get_current_errors()
     finite = bool(np.all(np.isfinite(list(errors.values()))))
 
@@ -254,20 +258,23 @@ def main():
                           'crn': conv_mod._EDGE_CRN,
                           'trunk': conv_mod._EDGE_TRUNK,
                           'trunk_ct': conv_mod._EDGE_TRUNK_CT},
-            'hct_mode': os.environ.get('SGAN_TPU_HCT', 'split'),
-            'mid_dw': os.environ.get('SGAN_TPU_MID_DW', '9dot'),
-            'conv3_min_pixels': os.environ.get('SGAN_TPU_CONV3_MIN_PIXELS'),
-            'conv3_pallas_bwd': os.environ.get('SGAN_TPU_CONV3_PALLAS_BWD',
-                                               '0'),
+            # resolved module values, not re-derived env defaults — the
+            # echo must reflect what the step actually ran with
+            'hct_mode': edge_mod._HCT_MODE,
+            's2d_mode': edge_mod._S2D_MODE,
+            'mid_dw': edge_mod._MID_DW,
+            'conv3_min_pixels': p3_mod._MIN_PIXELS,
+            'conv3_pallas_bwd': p3_mod._PALLAS_BWD,
+            'conv3_dw': p3_mod._DW_MODE,
+            'conv3_dx': p3_mod._DX_MODE,
             'conv4s2': os.environ.get('SGAN_TPU_CONV4S2', '0'),
-            'conv3_in_fused': os.environ.get('SGAN_TPU_CONV3_IN', '0'),
+            'conv3_in_fused': core_mod._CONV3_IN_FUSED,
+            'in_stream': inorm_mod._IN_STREAM,
             'pack_state': os.environ.get('SGAN_TPU_PACK_STATE', '1'),
-            'conv3_dw': os.environ.get('SGAN_TPU_CONV3_DW', '9dot'),
-            'phase_f2': os.environ.get('SGAN_TPU_PHASE_F2', '1'),
-            'phase_g1': os.environ.get('SGAN_TPU_PHASE_G1', '0'),
-            'phase_d2': os.environ.get('SGAN_TPU_PHASE_D2', '0'),
-            'skip_inert_bias': os.environ.get('SGAN_TPU_SKIP_INERT_BIAS',
-                                              '1'),
+            'phase_f2': os.environ.get('SGAN_TPU_PHASE_F2', '0') == '1',
+            'phase_g1': os.environ.get('SGAN_TPU_PHASE_G1', '1') == '1',
+            'phase_d2': os.environ.get('SGAN_TPU_PHASE_D2', '0') == '1',
+            'skip_inert_bias': core_mod._SKIP_INERT_BIAS,
         },
     }
     if torch_cpu:

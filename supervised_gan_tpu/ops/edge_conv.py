@@ -244,17 +244,20 @@ def _w_s2d_inv(dw2, k, stride, ci, co):
     return d6.reshape(k, k, ci, co)
 
 
-# SGAN_TPU_S2D=rows: build the strided-conv patches by H-deinterleave
-# instead of the 6-D space-to-depth transpose.  The canonical form's
-# (hp/s, s, wp/s, s, ci) -> (hp/s, wp/s, s, s, ci) transpose interleaves
-# two row streams at s*ci-element granularity — 2-6 lanes at the ci<=3
-# D stems, profiled 21 GB/s reshape+copy pairs (0.26 ms/site/step,
-# round-3 o_newdef trace at edge_conv.py:219-220).  Here dy never enters
-# the lane dim: per dy, xp[:, dy::s] takes full-row strided slices (row
-# = wp*ci contiguous elements) and every remaining tap is a free view;
-# channel order becomes (dy, a, b, dx, c) with the weight reorder and
-# dw inverse adjusted to match.  Gated for device A/B.
-_S2D_MODE = _os.environ.get('SGAN_TPU_S2D', 'xpose')
+# SGAN_TPU_S2D=rows (DEFAULT): build the strided-conv patches by
+# H-deinterleave instead of the 6-D space-to-depth transpose.  The
+# canonical form's (hp/s, s, wp/s, s, ci) -> (hp/s, wp/s, s, s, ci)
+# transpose interleaves two row streams at s*ci-element granularity —
+# 2-6 lanes at the ci<=3 D stems, profiled 21 GB/s reshape+copy pairs
+# (0.26 ms/site/step, round-3 o_newdef trace at edge_conv.py:219-220).
+# Here dy never enters the lane dim: per dy, xp[:, dy::s] takes
+# full-row strided slices (row = wp*ci contiguous elements) and every
+# remaining tap is a free view; channel order becomes (dy, a, b, dx, c)
+# with the weight reorder and dw inverse adjusted to match.
+# A/B (round-3 batch 9): 33.39 -> 32.58 ms device (29.84 img/s) — the
+# stem packs AND the convT-head dx cotangent packs all ride this
+# builder.  SGAN_TPU_S2D=xpose restores the canonical form.
+_S2D_MODE = _os.environ.get('SGAN_TPU_S2D', 'rows')
 
 
 def _im2col_s2d_rows(x, k, stride, padding, oh, ow):
