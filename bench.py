@@ -261,6 +261,8 @@ def main():
             # resolved module values, not re-derived env defaults — the
             # echo must reflect what the step actually ran with
             'hct_mode': edge_mod._HCT_MODE,
+            'hct_bwd': edge_mod._HCT_BWD,
+            'head_dot': edge_mod._HEAD_DOT,
             's2d_mode': edge_mod._S2D_MODE,
             'mid_dw': edge_mod._MID_DW,
             'conv3_min_pixels': p3_mod._MIN_PIXELS,

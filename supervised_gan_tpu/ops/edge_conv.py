@@ -56,6 +56,18 @@ STEM_MAX_CI = 8
 # 35.39 -> 34.83 ms) | 'dense' (one phase-major dot + a 2-lane
 # transpose) | 'sum' (per-phase tap sums — the round-2 original)
 _HCT_MODE = _os.environ.get('SGAN_TPU_HCT', 'split')
+# convT-head BACKWARD form at co <= HEAD_MAX_CO: 'planar' consumes the
+# cotangent channel-major (see _head_convt_bwd_planar) | 'fwdmode'
+# mirrors _HCT_MODE's split/dense row-phase extraction.
+_HCT_BWD = _os.environ.get('SGAN_TPU_HCT_BWD', 'planar')
+# head-conv dot orientation: 'kmajor' feeds the per-position dot the
+# (ci, M) view of the PLANAR padded input.  Hypothesis was that the dot
+# wants a (C sublane, M lane) tiled operand anyway (the row-major form
+# pays a 0.23 ms/step 290 GB/s tile-transposing reshape per 512px site,
+# round-3 base_s6 trace at edge_conv.py:87) — MEASURED -1.39 ms
+# NEGATIVE end-to-end (arm w 33.97 vs 32.58): the channel-major lhs
+# costs more elsewhere in the dot/epilogue than the reshape it removes.
+_HEAD_DOT = _os.environ.get('SGAN_TPU_HEAD_DOT', 'rowmajor')
 _MID_DW = _os.environ.get('SGAN_TPU_MID_DW', '9dot')
 
 
@@ -83,10 +95,22 @@ def _head_fwd(x, w, b, stride, padding):
     oh = (hp - kh) // s + 1
     ow = (wp - kw) // s + 1
     wm = w.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
-    t = jax.lax.dot_general(
-        xp.reshape(n * hp * wp, ci), wm.astype(xp.dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if _HEAD_DOT == 'kmajor':
+        # feed the dot the channel-major (ci, M) view: XLA lays the
+        # padded activation out planar ({2,1,3,0}) and the dot's lhs
+        # tiling is (C sublanes, M lanes) — the row-major (M, ci)
+        # reshape in the else-branch tile-transposes 64 MB at the CRN
+        # 512px head sites (reshape.11296/7, round-3 base_s6 trace)
+        xpT = jnp.moveaxis(xp, 3, 1).reshape(n, ci, hp * wp)
+        t = jax.lax.dot_general(
+            xpT, wm.astype(xp.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        t = jax.lax.dot_general(
+            xp.reshape(n * hp * wp, ci), wm.astype(xp.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     t = t.reshape(n, hp, wp, kh * kw * co)
     acc = jnp.zeros((n, oh, ow, co), jnp.float32)
     for ky in range(kh):
@@ -1015,12 +1039,101 @@ def _head_convt_fwd(x, w, b, stride, padding):
     return y.transpose(2, 3, 0, 4, 1, 5).reshape(n, s * O, s * OW, co)
 
 
+def _deint_w_planes(gT, s):
+    """Channel-major (n, c, H, X) -> s planes (n, c, H, X//s), plane r
+    holding columns X = s*j + r, via a multiply-reduce over the minor
+    pair dim — never a lane-strided slice (file header rule 2)."""
+    n, c, H, X = gT.shape
+    gv = gT.reshape(n, c, H, X // s, s)
+    eye = jnp.eye(s, dtype=gT.dtype)
+    return [jnp.sum(gv * eye[r], axis=-1) for r in range(s)]
+
+
+def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
+    """head_convt backward that consumes the cotangent CHANNEL-MAJOR.
+
+    At co <= 4 every row-major (..., co)-minor tensor is tiled
+    (8, 128) over (W, co) — physically 128/co-times padded — so the
+    split/dense extractions' g6/gq reshapes and the planar->row-major
+    copy XLA inserts to feed them run at 13-18 GB/s effective
+    (~1.1 ms/step across the three DSGAN c2 head sites, round-3 base_s6
+    trace at conv.py:118 / generators.py:31).  XLA already keeps the
+    incoming cotangent planar ({2,1,3,0}); here the moveaxis to
+    (n, co, H, X) is a layout no-op, the W-phase deinterleave is a
+    multiply-reduce over the minor pair dim, the H-phase split is a
+    sublane-strided full-lane slice, and both grads are K-major dots
+    whose operands never put co in the minor dim."""
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    s = stride
+    taps, O, OW, ds, pt, pb = _convt_geometry(k, s, padding, h, wd)
+    H, X = s * O, s * OW
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    g = g.astype(x.dtype)
+    gT = jnp.moveaxis(g, 3, 1)                    # (n, co, H, X)
+    planes = _deint_w_planes(gT, s)               # r -> (n, co, H, OW)
+    # dw: dW2^T = g_rows @ patches, rows ordered (q, r, co) to match
+    # _dw2_to_w's column order; each row block is a sublane-strided
+    # slice of a deinterleaved plane
+    rows = []
+    for q in range(s):
+        for r in range(s):
+            pq = lax.slice(planes[r], (0, 0, q, 0),
+                           (n, co, q + s * (O - 1) + 1, OW), (1, 1, s, 1))
+            rows.append(pq.reshape(n, co, O * OW))
+    grT = jnp.concatenate(rows, axis=1)            # (n, s*s*co, M)
+    patches = _convt_patches(x, ds, pt, pb, O, OW)
+    pmb = patches.reshape(n, O * OW, -1)
+    dW2T = jax.lax.dot_general(
+        grT, pmb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (n, s*s*co, K)
+    dW2 = jnp.swapaxes(dW2T.sum(0), 0, 1)          # (K, s*s*co) — tiny
+    dw = _dw2_to_w(dW2, taps, ds, k, s, ci, co, w.dtype)
+    # dx = conv(g, wT, stride=s, padding=p) — output grid (h, wd), the
+    # convT's input grid — from the SAME planes: the W tap kx reads
+    # plane (kx-p) mod s at block offset (kx-p)//s, the H tap ky a
+    # stride-s row slice — k*k free-ish views, one dense dot
+    wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
+    php = max(0, padding)
+    pbp = max(0, s * (h - 1) + (k - 1 - padding) - (H - 1))
+    bmin = (0 - padding) // s
+    bmax = (k - 1 - padding) // s
+    pw_l = max(0, -bmin)
+    pw_r = max(0, (wd - 1 + bmax) - (OW - 1))
+    pplanes = [jnp.pad(pl_, ((0, 0), (0, 0), (php, pbp), (pw_l, pw_r)))
+               for pl_ in planes]
+    cols = []
+    for ky in range(k):
+        hy = ky - padding
+        for kx in range(k):
+            d = kx - padding
+            r = d % s
+            bb = (d - r) // s
+            sl = lax.slice(
+                pplanes[r],
+                (0, 0, php + hy, pw_l + bb),
+                (n, co, php + hy + s * (h - 1) + 1, pw_l + bb + wd),
+                (1, 1, s, 1))                      # (n, co, h, wd)
+            cols.append(sl.reshape(n, co, h * wd))
+    pg = jnp.concatenate(cols, axis=1)             # (n, k*k*co, h*wd)
+    dx = jax.lax.dot_general(
+        pg, wT.reshape(k * k * co, ci),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (n, h*wd, ci)
+    dx = dx.reshape(n, h, wd, ci).astype(x.dtype)
+    return dx, dw, db
+
+
 def _head_convt_vjp_fwd(x, w, b, stride, padding):
     return head_convt(x, w, b, stride, padding), (x, w, b is not None)
 
 
 def _head_convt_vjp_bwd(stride, padding, res, g):
     x, w, has_b = res
+    if (_HCT_BWD == 'planar' and w.shape[3] <= HEAD_MAX_CO
+            and stride > 1):
+        return _head_convt_bwd_planar(x, w, g, stride, padding, has_b)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
     g = g.astype(x.dtype)
     k = w.shape[0]

@@ -265,6 +265,37 @@ def test_trunk_convt_gates():
     assert not e.trunk_convt_supported(x, w, 2, 1)
 
 
+# SGAN_TPU_HCT_BWD: the planar (channel-major cotangent) backward and
+# the row-major fwdmode extraction must both match XLA's grads — incl.
+# batch > 1, p=2, p=0 and s=3 geometries.
+@pytest.mark.parametrize("mode", ["planar", "fwdmode"])
+@pytest.mark.parametrize("H,Ci,Co,k,s,p,N", [
+    (16, 64, 2, 4, 2, 1, 1), (16, 32, 1, 4, 2, 1, 2),
+    (16, 64, 4, 4, 2, 2, 1), (8, 16, 2, 2, 2, 0, 1),
+    (9, 16, 2, 3, 3, 0, 1)])
+def test_head_convt_bwd_modes(monkeypatch, mode, H, Ci, Co, k, s, p, N):
+    monkeypatch.setattr(e, '_HCT_BWD', mode)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (N, H, H, Ci), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (k, k, Ci, Co)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (Co,)) * 0.1
+    assert e.head_convt_supported(x, w, s, p)
+    _check(lambda x, w, b: e.head_convt(x, w, b, s, p),
+           lambda x, w, b: _xla_convt(x, w, b, s, p), x, w, b)
+
+
+# SGAN_TPU_HEAD_DOT: the channel-major (kmajor) and row-major head-conv
+# dot orientations are the same math in both orders.
+@pytest.mark.parametrize("mode", ["kmajor", "rowmajor"])
+@pytest.mark.parametrize("H,Ci,Co,k,s,p", [
+    (32, 64, 1, 3, 1, 1), (32, 64, 2, 4, 2, 1)])
+def test_head_dot_modes(monkeypatch, mode, H, Ci, Co, k, s, p):
+    monkeypatch.setattr(e, '_HEAD_DOT', mode)
+    x, w, b = _mk(H, Ci, Co, k)
+    _check(lambda x, w, b: e.head_conv(x, w, b, s, p),
+           lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
+
+
 # SGAN_TPU_S2D=rows: H-deinterleave patch builder must match the
 # canonical space-to-depth form (fwd + all grads) at the stem shapes.
 @pytest.mark.parametrize("H,Ci,Co,k,s,p", [
