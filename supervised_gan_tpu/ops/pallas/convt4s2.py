@@ -279,8 +279,20 @@ def _vjp_fwd(x, w, b):
     return _convt_fwd(x, w, b), (x, w, b is not None)
 
 
+# backward form: 'xla' = joint XLA grads of the lhs-dilated conv;
+# 'dense' = edge_conv's channel-generic dense phase-dot backward
+# (dW2 = patches^T @ row-phase cotangent blocks, dx = stem/trunk dot).
+# Motivation (round-3 v2_confirm trace): the joint form's dw half runs
+# at 53 GB/s / 13 TF/s at the F2 decoder sites (fusion.9660/9661,
+# ~0.5 ms/step incl. its convert_add epilogue).
+_BWD_MODE = _os.environ.get('SGAN_TPU_CONVT_BWD', 'xla')
+
+
 def _vjp_bwd(res, g):
     x, w, has_b = res
+    if _BWD_MODE == 'dense':
+        from .. import edge_conv
+        return edge_conv._head_convt_vjp_bwd(2, 1, (x, w, has_b), g)
     # joint XLA grads of the equivalent lhs-dilated conv: dx is a plain
     # k4s2 conv (XLA strong, BENCH_NOTES k4s2 measurements), dw a strided
     # contraction
