@@ -281,7 +281,10 @@ def _w_s2d_inv(dw2, k, stride, ci, co):
 # A/B (round-3 batch 9): 33.39 -> 32.58 ms device (29.84 img/s) — the
 # stem packs AND the convT-head dx cotangent packs all ride this
 # builder.  SGAN_TPU_S2D=xpose restores the canonical form.
-_S2D_MODE = _os.environ.get('SGAN_TPU_S2D', 'rows')
+# Batch 13: SGAN_TPU_S2D=planar (channel-major phase-plane patches,
+# _stem_planar_patches) measured a further +0.27 ms (30.94 -> 30.67 ms
+# device) and is the default; 'rows' restores the H-deinterleave form.
+_S2D_MODE = _os.environ.get('SGAN_TPU_S2D', 'planar')
 
 
 def _im2col_s2d_rows(x, k, stride, padding, oh, ow):
@@ -315,6 +318,62 @@ def _w_s2d_rows_inv(dw2, k, stride, ci, co):
     t = k // s
     d6 = dw2.reshape(s, t, t, s, ci, co).transpose(1, 0, 2, 3, 4, 5)
     return d6.reshape(k, k, ci, co)
+
+
+# SGAN_TPU_S2D=planar: build the stem patches CHANNEL-MAJOR.  The rows
+# builder still reads/writes the pixel tensor in its (..., ci<=8)-minor
+# layout — physically 128/ci-times tile-padded, profiled 173-395 GB/s
+# at the D-stem sites (edge_conv.py:295/300, round-3 z trace, ~1.0
+# ms/step).  Here the tensor is phase-decomposed once into s*s DENSE
+# channel-major planes (multiply-reduce deinterleaves — the batch-12
+# machinery), every tap is a contiguous slice, the patches are K-major
+# (k*k*ci, M) with the weight consumed as a plain w.reshape(-1, co),
+# and the dw contraction needs no s2d reorder at all.
+def _stem_planar_ok(x, stride):
+    return (x.shape[0] >= 1 and x.ndim == 4
+            and (stride == 1 or (x.shape[1] % stride == 0
+                                 and x.shape[2] % stride == 0)))
+
+
+def _phase_planes(x, s):
+    """Channel-major phase decomposition: x (n, h, w, ci) ->
+    G[q][r] = (n, ci, h//s, w//s) holding pixels (s*i+q, s*j+r)."""
+    xT = jnp.moveaxis(x, 3, 1)
+    wpl = _deint_w_planes(xT, s)
+    hs = [_deint_h_planes(wpl[r], s) for r in range(s)]
+    return [[hs[r][q] for r in range(s)] for q in range(s)]
+
+
+def _stem_planar_patches(x, k, s, p, oh, ow):
+    """K-major stem patches (n, k*k*ci, oh*ow), row order (ky, kx, ci)
+    matching w.reshape(k*k*ci, co).  Output pixel o reads input row
+    s*o + ky - p = plane ((ky-p) mod s) at block row o + (ky-p)//s —
+    a contiguous slice of a padded dense plane."""
+    n, h, wd, ci = x.shape
+    if s == 1:
+        G = [[jnp.moveaxis(x, 3, 1)]]
+    else:
+        G = _phase_planes(x, s)
+    hb, wb = h // s, wd // s
+    amin = (0 - p) // s
+    amax = (k - 1 - p) // s
+    ph_t = max(0, -amin)
+    ph_b = max(0, (oh - 1 + amax) - (hb - 1))
+    pw_l = max(0, -amin)
+    pw_r = max(0, (ow - 1 + amax) - (wb - 1))
+    Gp = [[jnp.pad(Gq, ((0, 0), (0, 0), (ph_t, ph_b), (pw_l, pw_r)))
+           for Gq in row] for row in G]
+    cols = []
+    for ky in range(k):
+        d = ky - p
+        qq, aa = d % s, (d - d % s) // s
+        for kx in range(k):
+            d2 = kx - p
+            rr, bb = d2 % s, (d2 - d2 % s) // s
+            sl = lax.slice(Gp[qq][rr], (0, 0, ph_t + aa, pw_l + bb),
+                           (n, ci, ph_t + aa + oh, pw_l + bb + ow))
+            cols.append(sl.reshape(n, ci, oh * ow))
+    return jnp.concatenate(cols, axis=1)
 
 
 def stem_conv_supported(x, w, stride, padding):
@@ -369,11 +428,18 @@ def _stem_fwd(x, w, b, stride, padding):
     n, h, wd, _ = x.shape
     oh = (h + 2 * padding - kh) // stride + 1
     ow = (wd + 2 * padding - kw) // stride + 1
-    patches, wm = _stem_patches_w(x, w, stride, padding, oh, ow)
-    y = jax.lax.dot_general(
-        patches.reshape(n * oh * ow, -1), wm.astype(patches.dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())))
-    y = y.reshape(n, oh, ow, co)
+    if _S2D_MODE == 'planar' and _stem_planar_ok(x, stride):
+        pg = _stem_planar_patches(x, kh, stride, padding, oh, ow)
+        y = jax.lax.dot_general(
+            pg, w.reshape(kh * kw * ci, co).astype(pg.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())))  # (n, M, co)
+        y = y.reshape(n, oh, ow, co)
+    else:
+        patches, wm = _stem_patches_w(x, w, stride, padding, oh, ow)
+        y = jax.lax.dot_general(
+            patches.reshape(n * oh * ow, -1), wm.astype(patches.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())))
+        y = y.reshape(n, oh, ow, co)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -393,16 +459,23 @@ def _stem_vjp_bwd(stride, padding, res, g):
     n, oh, ow, _ = g.shape
     gm = g.reshape(n * oh * ow, co)
     # dw: patches^T @ g — one dense (K, M) x (M, co) matmul
-    patches, _ = _stem_patches_w(x, w, stride, padding, oh, ow)
-    dw = jax.lax.dot_general(
-        patches.reshape(n * oh * ow, -1), gm.astype(patches.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())))
-    if stride == 1:
-        dw = dw.reshape(kh, kw, ci, co).astype(w.dtype)
-    elif _S2D_MODE == 'rows':
-        dw = _w_s2d_rows_inv(dw, kh, stride, ci, co).astype(w.dtype)
+    if _S2D_MODE == 'planar' and _stem_planar_ok(x, stride):
+        pg = _stem_planar_patches(x, kh, stride, padding, oh, ow)
+        dw = jax.lax.dot_general(
+            pg, g.reshape(n, oh * ow, co).astype(pg.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))))  # (n, K, co)
+        dw = dw.sum(0).reshape(kh, kw, ci, co).astype(w.dtype)
     else:
-        dw = _w_s2d_inv(dw, kh, stride, ci, co).astype(w.dtype)
+        patches, _ = _stem_patches_w(x, w, stride, padding, oh, ow)
+        dw = jax.lax.dot_general(
+            patches.reshape(n * oh * ow, -1), gm.astype(patches.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())))
+        if stride == 1:
+            dw = dw.reshape(kh, kw, ci, co).astype(w.dtype)
+        elif _S2D_MODE == 'rows':
+            dw = _w_s2d_rows_inv(dw, kh, stride, ci, co).astype(w.dtype)
+        else:
+            dw = _w_s2d_inv(dw, kh, stride, ci, co).astype(w.dtype)
     s = stride
     h, wd = x.shape[1], x.shape[2]
     wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)

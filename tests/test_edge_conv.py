@@ -306,3 +306,19 @@ def test_stem_conv_s2d_rows(monkeypatch, H, Ci, Co, k, s, p):
     assert e.stem_conv_supported(x, w, s, p)
     _check(lambda x, w, b: e.stem_conv(x, w, b, s, p),
            lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
+
+
+# SGAN_TPU_S2D=planar: channel-major phase-plane patch builder (fwd +
+# grads), incl. stride-1 stems, trunk ci=32 shapes and batch > 1.
+@pytest.mark.parametrize("H,Ci,Co,k,s,p,N", [
+    (32, 3, 64, 4, 2, 1, 1), (32, 2, 32, 4, 2, 1, 2),
+    (32, 1, 32, 4, 2, 1, 1), (32, 2, 64, 3, 1, 1, 1),
+    (16, 32, 64, 4, 2, 1, 1), (33, 2, 16, 6, 3, 0, 1)])
+def test_stem_conv_s2d_planar(monkeypatch, H, Ci, Co, k, s, p, N):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (N, H, H, Ci), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (k, k, Ci, Co)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (Co,)) * 0.1
+    monkeypatch.setattr(e, '_S2D_MODE', 'planar')
+    _check(lambda x, w, b: e.stem_conv(x, w, b, s, p),
+           lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
