@@ -69,6 +69,9 @@ _HCT_BWD = _os.environ.get('SGAN_TPU_HCT_BWD', 'planar')
 # costs more elsewhere in the dot/epilogue than the reshape it removes.
 _HEAD_DOT = _os.environ.get('SGAN_TPU_HEAD_DOT', 'rowmajor')
 _MID_DW = _os.environ.get('SGAN_TPU_MID_DW', '9dot')
+# dW2 patches orientation in the planar convT bwd ('kmajor' measured
+# -0.98 ms, see _head_convt_bwd_planar)
+_CONVT_PATCHES = _os.environ.get('SGAN_TPU_CONVT_PATCHES', 'mmajor')
 
 
 def _pad_hw(x, ph, pw):
@@ -1133,6 +1136,24 @@ def _deint_h_planes(p, s):
     return [jnp.sum(pv * eye[q][:, None], axis=3) for q in range(s)]
 
 
+def _convt_patches_kmajor(x, ds, pt, pb, O, OW):
+    """(n, |D|^2*ci, O*OW) channel-major dual of _convt_patches, row
+    order (a, bb, ci).  The (M, K) form gets relayouted into the dW2
+    dot's K-major operand tiles (0.55 ms/step of bf16[72,8,256,256]
+    copies at the G1 head site, round-3 s1 trace); built K-major the
+    dot consumes it natively."""
+    n, h, wd, ci = x.shape
+    xT = jnp.moveaxis(x, 3, 1)
+    xp = jnp.pad(xT, ((0, 0), (0, 0), (pt, pb), (pt, pb)))
+    cols = []
+    for a in ds:
+        for bb in ds:
+            sl = lax.slice(xp, (0, 0, pt + a, pt + bb),
+                           (n, ci, pt + a + O, pt + bb + OW))
+            cols.append(sl.reshape(n, ci, O * OW))
+    return jnp.concatenate(cols, axis=1)
+
+
 def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
     """head_convt backward that consumes the cotangent CHANNEL-MAJOR.
 
@@ -1169,11 +1190,20 @@ def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
         for r in range(s):
             rows.append(G[q][r].reshape(n, co, O * OW))
     grT = jnp.concatenate(rows, axis=1)            # (n, s*s*co, M)
-    patches = _convt_patches(x, ds, pt, pb, O, OW)
-    pmb = patches.reshape(n, O * OW, -1)
-    dW2T = jax.lax.dot_general(
-        grT, pmb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)        # (n, s*s*co, K)
+    if _CONVT_PATCHES == 'kmajor':
+        # MEASURED -0.98 ms NEGATIVE (p1 arm, round-3): building the
+        # |D|^2 channel-major x copies costs more than the (M, K)
+        # concat + the dot's K-major relayout it replaces
+        pT = _convt_patches_kmajor(x, ds, pt, pb, O, OW)
+        dW2T = jax.lax.dot_general(
+            grT, pT, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # (n, s*s*co, K)
+    else:
+        patches = _convt_patches(x, ds, pt, pb, O, OW)
+        pmb = patches.reshape(n, O * OW, -1)
+        dW2T = jax.lax.dot_general(
+            grT, pmb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # (n, s*s*co, K)
     dW2 = jnp.swapaxes(dW2T.sum(0), 0, 1)          # (K, s*s*co) — tiny
     dw = _dw2_to_w(dW2, taps, ds, k, s, ci, co, w.dtype)
     # dx = conv(g, wT, stride=s, padding=p) — output grid (h, wd), the
