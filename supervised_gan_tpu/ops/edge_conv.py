@@ -98,6 +98,28 @@ def _head_fwd(x, w, b, stride, padding):
     oh = (hp - kh) // s + 1
     ow = (wp - kw) // s + 1
     wm = w.transpose(2, 0, 1, 3).reshape(ci, kh * kw * co)
+    if _HEAD_DOT == 'planar' and s == 1:
+        # fully planar: K-major dot emitting channel-major t planes,
+        # tap sums as contiguous plane slices, output moveaxis'd back
+        # (free at co = 1).  Unlike 'kmajor' (which left t row-major and
+        # paid the transpose on the other side of the dot, -1.39 ms),
+        # nothing here ever puts the k*k*co axis minor.
+        xpT = jnp.moveaxis(xp, 3, 1).reshape(n, ci, hp * wp)
+        tT = jax.lax.dot_general(
+            wm.T.astype(xp.dtype), xpT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (k*k*co, n, hp*wp)
+        tT = jnp.moveaxis(tT, 1, 0).reshape(n, kh * kw * co, hp, wp)
+        acc = jnp.zeros((n, co, oh, ow), jnp.float32)
+        for ky in range(kh):
+            for kx in range(kw):
+                j = ky * kw + kx
+                acc = acc + lax.slice(
+                    tT, (0, j * co, ky, kx),
+                    (n, (j + 1) * co, ky + oh, kx + ow))
+        if b is not None:
+            acc = acc + b.astype(jnp.float32)[None, :, None, None]
+        return jnp.moveaxis(acc, 1, 3).astype(x.dtype)
     if _HEAD_DOT == 'kmajor':
         # feed the dot the channel-major (ci, M) view: XLA lays the
         # padded activation out planar ({2,1,3,0}) and the dot's lhs

@@ -286,7 +286,7 @@ def test_head_convt_bwd_modes(monkeypatch, mode, H, Ci, Co, k, s, p, N):
 
 # SGAN_TPU_HEAD_DOT: the channel-major (kmajor) and row-major head-conv
 # dot orientations are the same math in both orders.
-@pytest.mark.parametrize("mode", ["kmajor", "rowmajor"])
+@pytest.mark.parametrize("mode", ["kmajor", "rowmajor", "planar"])
 @pytest.mark.parametrize("H,Ci,Co,k,s,p", [
     (32, 64, 1, 3, 1, 1), (32, 64, 2, 4, 2, 1)])
 def test_head_dot_modes(monkeypatch, mode, H, Ci, Co, k, s, p):
