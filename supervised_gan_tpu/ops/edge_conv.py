@@ -68,7 +68,9 @@ _HCT_BWD = _os.environ.get('SGAN_TPU_HCT_BWD', 'planar')
 # NEGATIVE end-to-end (arm w 33.97 vs 32.58): the channel-major lhs
 # costs more elsewhere in the dot/epilogue than the reshape it removes.
 _HEAD_DOT = _os.environ.get('SGAN_TPU_HEAD_DOT', 'rowmajor')
-_MID_DW = _os.environ.get('SGAN_TPU_MID_DW', '9dot')
+# 3x3 s1 dw form: 'rowdots' (three free-view row dots, default after the
+# round-3 A/B: 30.67 -> 30.09 ms device) | '9dot' | 'gcols' | 'onedot'
+_MID_DW = _os.environ.get('SGAN_TPU_MID_DW', 'rowdots')
 # dW2 patches orientation in the planar convT bwd ('kmajor' measured
 # -0.98 ms, see _head_convt_bwd_planar)
 _CONVT_PATCHES = _os.environ.get('SGAN_TPU_CONVT_PATCHES', 'mmajor')
@@ -745,12 +747,11 @@ def _mid_vjp_bwd(stride, padding, res, g):
     # conversions around the custom-call do not fuse at 256px (the same
     # lesson as the fwd kernel's >=512px dispatch gate); the pure-XLA
     # one-dot form composes.
-    if _MID_DW == '9dot' and kh == 3 and padding == 1 and stride == 1:
-        # nine K-major dots: no patches materialization (the one-dot
-        # form's 75 MB relayout was the round-2 net loss)
-        dw = _nine_dot_dw(x, g).astype(w.dtype)
-    elif _MID_DW == 'gcols' and kh == 3 and padding == 1 and stride == 1:
-        dw = dw_gcols(x, g).astype(w.dtype)
+    if (_MID_DW in ('9dot', 'gcols', 'rowdots')
+            and kh == 3 and padding == 1 and stride == 1):
+        # dot-form dw: no patches materialization (the one-dot form's
+        # 75 MB relayout was the round-2 net loss); see dw3x3
+        dw = dw3x3(x, g).astype(w.dtype)
     else:
         dw = dw_onedot(x, g, w.shape, stride, padding).astype(w.dtype)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
@@ -886,13 +887,55 @@ def dw_gcols(x, g):
     return dw.sum(0).reshape(3, 3, c, co)
 
 
+def dw_rowdots(x, g):
+    """dw of a SAME 3x3 conv as THREE per-row dots with free-view lhs.
+
+    The nine-dot form's per-tap lhs ``xs.reshape(-1, c)`` is a strided
+    W-slice, so XLA materializes a K-major copy of BOTH operands per tap
+    (round-3 s7 trace: 1.5 ms/step of 67 MB constant_DUS fusions at the
+    512px c64 sites).  Here the lhs for row-tap ky is
+    ``xp[:, ky:ky+h, :, :]`` — full contiguous rows of the padded input,
+    a layout-preserving view — and the three kx taps ride the RHS
+    instead: g zero-padded onto the wp grid at the three shifts and
+    lane-concatenated to (M', 3co) (one bandwidth fusion; 3co >= 96
+    lanes at every dispatch site, so no tile padding).  Traffic:
+    3 view-reads of xp + 2x the 3co gcols vs the nine-dot's 9 strided
+    read+write pairs.  dw[ky, kx] = sum_{i,j} xp[i+ky, j+kx] * g[i, j]:
+    flattening (n, i, m) is safe because the tap pairing is elementwise
+    in the flattened index."""
+    n, h, w_, c = x.shape
+    co = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wp = w_ + 2
+    gcols = jnp.concatenate(
+        [jnp.pad(g, ((0, 0), (0, 0), (kx, 2 - kx), (0, 0)))
+         for kx in range(3)], axis=-1).reshape(n * h * wp, 3 * co)
+    outs = []
+    for ky in range(3):
+        lhs = lax.slice(xp, (0, ky, 0, 0),
+                        (n, ky + h, wp, c)).reshape(n * h * wp, c)
+        outs.append(lax.dot_general(
+            lhs, gcols, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.stack(outs).reshape(3, c, 3, co).transpose(0, 2, 1, 3)
+
+
+def dw3x3(x, g):
+    """SAME 3x3 s1 dw in the gated form (SGAN_TPU_MID_DW)."""
+    if _MID_DW == 'rowdots':
+        return dw_rowdots(x, g)
+    if _MID_DW == 'gcols':
+        return dw_gcols(x, g)
+    return _nine_dot_dw(x, g)
+
+
 def _crn_vjp_bwd(stride, padding, res, g):
     x, w, has_b = res
     wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
     dx = jax.lax.conv_general_dilated(
         g, wT, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    dw = _nine_dot_dw(x, g).astype(w.dtype)
+    dw = dw3x3(x, g).astype(w.dtype)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
     return dx.astype(x.dtype), dw, db
 

@@ -476,7 +476,7 @@ def _dw_9dot(x, g):
     return jnp.stack(outs).reshape(3, 3, c, co)
 
 
-_DW_MODE = _os.environ.get('SGAN_TPU_CONV3_DW', '9dot')
+_DW_MODE = _os.environ.get('SGAN_TPU_CONV3_DW', 'rowdots')
 # dx form under the dot-dw modes: 'pallas' (the forward pixel-packed
 # kernel on the flipped/io-transposed weights — DEFAULT, measured
 # 34.05 -> 33.39 ms device on the DSGAN bench, BENCH_NOTES round 3
@@ -525,10 +525,10 @@ def _vjp_bwd(res, g):
             # lowered below the kernel's packing rules): XLA dw.
             _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None), w)
             (dw,) = pb(g)
-    elif _DW_MODE in ('9dot', 'gcols'):
+    elif _DW_MODE in ('9dot', 'gcols', 'rowdots'):
         # XLA dx conv (keeps its fusions) + dot-form dw: nine K-major
-        # dots (9dot) or one pre-transposed single dot (gcols — see
-        # ops/edge_conv.dw_gcols)
+        # dots (9dot), one pre-transposed single dot (gcols), or three
+        # free-view row dots (rowdots — see ops/edge_conv.dw_rowdots)
         w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
         if _DX_MODE == 'pallas' and supported(g, w_flip, 1, 1):
             # dx through the pixel-packed forward kernel (same geometry
@@ -540,6 +540,9 @@ def _vjp_bwd(res, g):
         if _DW_MODE == 'gcols':
             from ..edge_conv import dw_gcols
             dw = dw_gcols(x, g).astype(w.dtype)
+        elif _DW_MODE == 'rowdots':
+            from ..edge_conv import dw_rowdots
+            dw = dw_rowdots(x, g).astype(w.dtype)
         else:
             dw = _dw_9dot(x, g).astype(w.dtype)
     else:

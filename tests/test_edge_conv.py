@@ -160,6 +160,20 @@ def test_dw_gcols(H, Ci, Co, N):
                                rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.parametrize("H,Ci,Co", [(16, 8, 4), (32, 64, 64), (17, 32, 64)])
+@pytest.mark.parametrize("N", [1, 2])
+def test_dw_rowdots(H, Ci, Co, N):
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (N, H, H, Ci), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, Ci, Co)) * 0.1
+    g = jax.random.normal(jax.random.fold_in(key, 2), (N, H, H, Co))
+    _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None, 1, 1), w)
+    (ref,) = pb(g)
+    got = e.dw_rowdots(x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
+
+
 @pytest.mark.parametrize("H,Ci,Co,k,s,p", [(128, 64, 64, 3, 1, 1)])
 def test_mid_conv(H, Ci, Co, k, s, p):
     x, w, b = _mk(H, Ci, Co, k)
