@@ -39,6 +39,15 @@ def _flat_adam_enabled():
     return os.environ.get('SGAN_TPU_FLAT_ADAM', '1') != '0'
 
 
+def flat_update_enabled():
+    """Packed ``p - lr*u``: the parameter subtraction runs on the same
+    flat per-dtype buffers as the FlatAdam moment math instead of one
+    tiny fusion per parameter tensor (~457 sub-2us ops/step on the DSGAN
+    bench; round-3 s8 trace).  Bit-exact either way."""
+    return (_flat_adam_enabled()
+            and os.environ.get('SGAN_TPU_FLAT_UPD', '1') != '0')
+
+
 def _pack_dtype(dtype):
     """Packing group for a leaf dtype.  All floating leaves pack as f32:
     the vjp path returns SOME gradients as bf16 (the edge-conv backward
@@ -116,6 +125,56 @@ class FlatAdam:
         fu, state = self._tx.update(_pack_small_leaves(grads), state, None)
         return _unpack_small_leaves(fu, grads), state
 
+    def apply_updates(self, grads, state, params, leaves_lr):
+        """params - lr*adam(grads), with the subtraction ALSO in packed
+        space: params are concatenated once per dtype (XLA folds the
+        concat-of-ordered-slices where the leaves came from the packed
+        state buffer), updated by a handful of vector ops, and sliced
+        back out — replacing the per-leaf tree_map subtract.
+
+        ``leaves_lr`` is one traced lr scalar per leaf of ``params`` in
+        tree-flatten order (constant for a D group; per-subtree for the
+        chained G groups).  Bit-exact vs the per-leaf form: the packed
+        buffers hold the same f32 elements and the subtract is
+        elementwise."""
+        fu, state = self._tx.update(_pack_small_leaves(grads), state, None)
+        fp = _pack_small_leaves(params)
+        segs, big_lr = _flat_lr_plan(leaves_lr, params)
+        new_flat = {}
+        for dt, buf in fp['flat'].items():
+            ss = segs.get(dt, [])
+            if len(ss) == 1:
+                new_flat[dt] = buf - ss[0][0] * fu['flat'][dt]
+            else:
+                lrv = jnp.concatenate(
+                    [jnp.full((s,), lr, buf.dtype) for lr, s in ss])
+                new_flat[dt] = buf - lrv * fu['flat'][dt]
+        new_big = {i: l - big_lr[i] * fu['big'][i]
+                   for i, l in fp['big'].items()}
+        packed = {'flat': new_flat, 'big': new_big}
+        return _unpack_small_leaves(packed, params), state
+
+
+def _flat_lr_plan(leaves_lr, tree, threshold=_FLAT_ADAM_COUNT):
+    """Per-dtype contiguous (lr, size) segments + {big_idx: lr}, aligned
+    with the _pack_small_leaves classification of ``tree``'s leaves.
+    Adjacent leaves sharing the SAME lr object merge into one segment,
+    so a constant-lr group costs a single scalar broadcast."""
+    segs, big = {}, {}
+    leaves = jax.tree_util.tree_leaves(tree)
+    assert len(leaves) == len(leaves_lr), (len(leaves), len(leaves_lr))
+    for i, (l, lr) in enumerate(zip(leaves, leaves_lr)):
+        if l.size < threshold:
+            dt = _pack_dtype(l.dtype).name
+            lst = segs.setdefault(dt, [])
+            if lst and lst[-1][0] is lr:
+                lst[-1][1] += int(l.size)
+            else:
+                lst.append([lr, int(l.size)])
+        else:
+            big[str(i)] = lr
+    return segs, big
+
 
 def adam_transform(beta1):
     """scale_by_adam; the step's learning rate is applied inside the train
@@ -150,6 +209,9 @@ def _migrate_opt_entry(entry):
 
 
 def apply_adam(tx, grads, opt_state, params, lr):
+    if isinstance(tx, FlatAdam) and flat_update_enabled():
+        n = len(jax.tree_util.tree_leaves(params))
+        return tx.apply_updates(grads, opt_state, params, [lr] * n)
     updates, opt_state = tx.update(grads, opt_state, params)
     new_params = jax.tree_util.tree_map(
         lambda p, u: p - lr * u, params, updates)

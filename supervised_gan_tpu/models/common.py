@@ -393,11 +393,24 @@ def build_gan_train_step(*, noise_shapes, forward, d_specs, g_spec,
 
                 (_, gaux), grads = jax.value_and_grad(
                     g_loss, has_aux=True)(gp0)
-            updates, opts['G'] = g_spec['tx'].update(grads, opts['G'], gp0)
-            for kk in g_keys:
-                lr = lrs[g_spec['lrs'][kk]]
-                params[kk] = jax.tree_util.tree_map(
-                    lambda p, u: p - lr * u, params[kk], updates[kk])
+            from .base import FlatAdam, flat_update_enabled
+            if isinstance(g_spec['tx'], FlatAdam) and flat_update_enabled():
+                # packed p - lr*u over the chained G groups: one lr
+                # scalar per leaf (dict flatten order = sorted keys)
+                leaves_lr = []
+                for kk in sorted(gp0):
+                    leaves_lr += [lrs[g_spec['lrs'][kk]]] * len(
+                        jax.tree_util.tree_leaves(gp0[kk]))
+                new_gp, opts['G'] = g_spec['tx'].apply_updates(
+                    grads, opts['G'], gp0, leaves_lr)
+                params.update(new_gp)
+            else:
+                updates, opts['G'] = g_spec['tx'].update(grads, opts['G'],
+                                                         gp0)
+                for kk in g_keys:
+                    lr = lrs[g_spec['lrs'][kk]]
+                    params[kk] = jax.tree_util.tree_map(
+                        lambda p, u: p - lr * u, params[kk], updates[kk])
             aux_all.update(gaux)
             if g_spec['n_update'] > 1:
                 noises, fkey = draw()

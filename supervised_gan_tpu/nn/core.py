@@ -283,9 +283,15 @@ class ConvTranspose2d(Layer):
                     w = w.astype(ctx.compute_dtype)
                 # measured win region (BENCH_NOTES round 2): tiny spatial
                 # (XLA's lhs-dilated conv is weak there) or small Co;
-                # elsewhere XLA ties or wins
+                # elsewhere XLA ties or wins.  The co<=32 branch (the F2
+                # unet decoder 128->32 sites) is separately gated for A/B:
+                # its XLA-side dw runs at 53 GB/s in the round-3 s8 trace
+                # (SGAN_TPU_CONVT4S2_CO32=0 routes those through XLA).
+                import os as _os
                 h, wd, co = x.shape[1], x.shape[2], w.shape[3]
-                if ((h * wd <= 256 or co <= 32)
+                co_gate = (co <= 32 and _os.environ.get(
+                    'SGAN_TPU_CONVT4S2_CO32', '1') != '0')
+                if ((h * wd <= 256 or co_gate)
                         and pt.supported(x, w, self.stride, self.padding,
                                          self.output_padding)):
                     return pt.convt4s2(x, w, b)

@@ -90,6 +90,51 @@ def test_flat_adam_bf16_grad_leaves():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_apply_updates_bit_exact_vs_per_leaf():
+    """The packed p - lr*u path (apply_updates) vs per-leaf tree_map —
+    bit-exact, including per-subtree lrs and a >threshold big leaf."""
+    params = _tree(jax.random.PRNGKey(9), big=True)
+    flat = FlatAdam(0.5)
+    state_a = flat.init(params)
+    state_b = flat.init(params)
+    lr_a, lr_c = jnp.float32(0.01), jnp.float32(0.003)
+    # per-leaf lrs in tree-flatten order (dict keys sorted: a, c, huge)
+    leaves_lr = ([lr_a] * len(jax.tree_util.tree_leaves(params['a']))
+                 + [lr_c] * len(jax.tree_util.tree_leaves(params['c']))
+                 + [lr_a])
+    p_packed, p_leaf = params, params
+    for i in range(3):
+        grads = _tree(jax.random.PRNGKey(200 + i), big=True)
+        p_packed, state_a = flat.apply_updates(grads, state_a, p_packed,
+                                               leaves_lr)
+        u, state_b = flat.update(grads, state_b)
+        lrs = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(p_leaf), leaves_lr)
+        p_leaf = jax.tree_util.tree_map(lambda p, uu, lr: p - lr * uu,
+                                        p_leaf, u, lrs)
+    for a, b in zip(jax.tree_util.tree_leaves(p_packed),
+                    jax.tree_util.tree_leaves(p_leaf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_apply_adam_flat_gate(monkeypatch):
+    """apply_adam routes through apply_updates when the gate is on and
+    matches the per-leaf path exactly."""
+    from supervised_gan_tpu.models.base import apply_adam
+    params = _tree(jax.random.PRNGKey(10))
+    grads = _tree(jax.random.PRNGKey(11))
+    flat = FlatAdam(0.5)
+    monkeypatch.setenv('SGAN_TPU_FLAT_UPD', '1')
+    p1, _ = apply_adam(flat, grads, flat.init(params), params,
+                       jnp.float32(0.02))
+    monkeypatch.setenv('SGAN_TPU_FLAT_UPD', '0')
+    p2, _ = apply_adam(flat, grads, flat.init(params), params,
+                       jnp.float32(0.02))
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_migrate_per_leaf_checkpoint_to_flat(monkeypatch):
     monkeypatch.setenv('SGAN_TPU_FLAT_ADAM', '1')
     params = _tree(jax.random.PRNGKey(4))
