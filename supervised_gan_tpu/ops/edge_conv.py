@@ -1219,6 +1219,41 @@ def _convt_patches_kmajor(x, ds, pt, pb, O, OW):
     return jnp.concatenate(cols, axis=1)
 
 
+def convt_dw_planar(x, w, g, stride, padding):
+    """dw-only planar backward of a k/s/p ConvTranspose: the dense
+    phase-plane dW2 form of _head_convt_bwd_planar without its co cap.
+
+    The cotangent is deinterleaved into s*s DENSE channel-major phase
+    planes by two multiply-reduce stages (never a strided slice), then
+    ONE K-major dot against the |D|^2 shifted-patch concat of x yields
+    dW2, from which the (k,k,ci,co) kernel grad is 16 tiny slices.
+    Built for the F2 convt4s2 ci=128,co=32 decoder sites whose joint
+    XLA dw runs at 53 GB/s (round-3 s8 trace, fusion.8654/8655);
+    dispatched from ops/pallas/convt4s2.py under
+    SGAN_TPU_CONVT_BWD=densedw (dx stays the strong XLA strided conv)."""
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    s = stride
+    taps, O, OW, ds, pt, pb = _convt_geometry(k, s, padding, h, wd)
+    g = g.astype(x.dtype)
+    gT = jnp.moveaxis(g, 3, 1)                    # (n, co, H, X)
+    wplanes = _deint_w_planes(gT, s)              # r -> (n, co, H, OW)
+    hsplit = [_deint_h_planes(wplanes[r], s) for r in range(s)]
+    rows = []
+    for q in range(s):
+        for r in range(s):
+            rows.append(hsplit[r][q].reshape(n, co, O * OW))
+    grT = jnp.concatenate(rows, axis=1)            # (n, s*s*co, M)
+    patches = _convt_patches(x, ds, pt, pb, O, OW)
+    pmb = patches.reshape(n, O * OW, -1)
+    dW2T = jax.lax.dot_general(
+        grT, pmb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)        # (n, s*s*co, K)
+    dW2 = jnp.swapaxes(dW2T.sum(0), 0, 1)          # (K, s*s*co) — tiny
+    return _dw2_to_w(dW2, taps, ds, k, s, ci, co, w.dtype)
+
+
 def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
     """head_convt backward that consumes the cotangent CHANNEL-MAJOR.
 

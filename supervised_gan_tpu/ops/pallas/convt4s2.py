@@ -293,6 +293,15 @@ def _vjp_bwd(res, g):
     if _BWD_MODE == 'dense':
         from .. import edge_conv
         return edge_conv._head_convt_vjp_bwd(2, 1, (x, w, has_b), g)
+    if _BWD_MODE == 'densedw':
+        # dx via XLA's strided conv (strong); ONLY the 53 GB/s dw half
+        # replaced by the dense phase-plane form (edge_conv)
+        from .. import edge_conv
+        _, pullx = jax.vjp(lambda xv: _xla_convt(xv, w, None), x)
+        (dx,) = pullx(g)
+        dw = edge_conv.convt_dw_planar(x, w, g, 2, 1)
+        db = jnp.sum(g, axis=(0, 1, 2)) if has_b else None
+        return dx, dw, db
     # joint XLA grads of the equivalent lhs-dilated conv: dx is a plain
     # k4s2 conv (XLA strong, BENCH_NOTES k4s2 measurements), dw a strided
     # contraction

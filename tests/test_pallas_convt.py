@@ -78,6 +78,26 @@ def test_vjp_dense_mode_matches_xla(monkeypatch, H, W, Ci, Co):
                                    rtol=0, atol=2e-5)
 
 
+@pytest.mark.parametrize("H,W,Ci,Co", [(16, 16, 128, 32), (16, 16, 64, 32),
+                                       (8, 8, 256, 256)])
+def test_vjp_densedw_mode_matches_xla(monkeypatch, H, W, Ci, Co):
+    """SGAN_TPU_CONVT_BWD=densedw: dx stays the XLA joint form, ONLY dw
+    goes through edge_conv.convt_dw_planar — must match the joint vjp."""
+    monkeypatch.setattr(pt, '_BWD_MODE', 'densedw')
+    x, w, b = _mk(H, W, Ci, Co, seed=7)
+    g = jax.random.normal(jax.random.PRNGKey(13), (1, 2 * H, 2 * W, Co))
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(f(x, w, b) * g)
+
+    d1 = jax.grad(loss(pt.convt4s2), (0, 1, 2))(x, w, b)
+    d2 = jax.grad(loss(pt._xla_convt), (0, 1, 2))(x, w, b)
+    for a, r in zip(d1, d2):
+        sc = float(jnp.max(jnp.abs(r))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / sc, np.asarray(r) / sc,
+                                   rtol=0, atol=2e-5)
+
+
 def test_unsupported_shapes_rejected():
     x, w, _ = _mk(16, 16, 48, 24)      # no lane-aligning tuple size
     assert not pt.supported(x, w)
