@@ -47,7 +47,11 @@ import os
 
 _VMEM_BUDGET = 768 * 1024
 _USE_MOSAIC = os.environ.get('SGAN_TPU_PALLAS_IN', '') == '1'
-_OUT_BARRIER = os.environ.get('SGAN_TPU_IN_BARRIER', '0') == '1'
+# '0' off (default) | '1' every site (measured -3+ ms: program-wide
+# de-fusion) | 'big' only sites >= 2^24 elements (the two 512px c64
+# normalize chains whose f32 intermediate gets relayouted at full f32
+# width before the downcast — copy.18152/18585, round-3 s8 trace)
+_OUT_BARRIER = os.environ.get('SGAN_TPU_IN_BARRIER', '0')
 
 
 def _kernel(x_ref, o_ref, *, eps, slope):
@@ -121,7 +125,8 @@ def _fwd(x, eps, slope):
     y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
     if slope is not None:
         y = jnp.where(y >= 0, y, y * jnp.asarray(slope, y.dtype))
-    if _OUT_BARRIER:
+    if _OUT_BARRIER == '1' or (_OUT_BARRIER == 'big'
+                               and x.size >= (1 << 24)):
         # pin the materialization point to the bf16 activated output:
         # without it, layout assignment relayouts the f32 normalize
         # intermediate into the consumer's (dot) layout BEFORE the
