@@ -93,6 +93,12 @@ PALLAS_ENABLED = False
 import os as _os
 _CONV3_IN_FUSED = _os.environ.get('SGAN_TPU_CONV3_IN', '0') == '1'
 
+# Opaque-producer streaming IN (pallas-conv3x3 -> IN(+act) pairs): the
+# normalize/backward read the custom-call output in bf16 via the stream
+# kernels instead of a CSE-merged f32 convert that XLA materializes as
+# a full-width relayout (see ops/pallas/instance_norm.py, opaque block).
+_IN_OPAQUE = _os.environ.get('SGAN_TPU_IN_OPAQUE', '0') == '1'
+
 # A conv bias immediately followed by a mean-subtracting norm is
 # functionally INERT: InstanceNorm(affine=False) / our stateless BatchNorm
 # subtract the per-channel mean, which removes a per-channel constant
@@ -166,6 +172,37 @@ class Sequential(Layer):
                             skip = 3
                         x = p3in.conv3x3_in_act(
                             xc, w, b, self.layers[i + 1].eps, slope)
+                        i += skip
+                        continue
+            if PALLAS_ENABLED and _IN_OPAQUE and isinstance(layer, Conv2d) \
+                    and layer.kernel == 3 and layer.stride == 1 \
+                    and layer.padding == 1 and i + 1 < n \
+                    and isinstance(self.layers[i + 1], InstanceNorm2d):
+                from ..ops.pallas import conv3x3 as p3
+                from ..ops.pallas import instance_norm as pin
+                if p3._INTERPRET or jax.default_backend() == 'tpu':
+                    xc = x if ctx.compute_dtype is None \
+                        else x.astype(ctx.compute_dtype)
+                    w = params[str(i)]["weight"]
+                    wc = w if ctx.compute_dtype is None \
+                        else w.astype(ctx.compute_dtype)
+                    yshape = xc.shape[:3] + (wc.shape[3],)
+                    if (p3.supported(xc, wc, 1, 1)
+                            and pin.opaque_stream_ok(yshape)):
+                        inert = (_SKIP_INERT_BIAS and layer.bias
+                                 and self._inert_bias_at(i))
+                        y = layer.apply(params.get(str(i), {}), x, ctx,
+                                        inert_bias=inert)
+                        slope = None
+                        skip = 2
+                        if i + 2 < n and isinstance(self.layers[i + 2],
+                                                    (LeakyReLU, ReLU)):
+                            nxt = self.layers[i + 2]
+                            slope = (nxt.slope
+                                     if isinstance(nxt, LeakyReLU) else 0.0)
+                            skip = 3
+                        x = pin.opaque_instance_norm_act(
+                            y, self.layers[i + 1].eps, slope)
                         i += skip
                         continue
             if PALLAS_ENABLED and isinstance(layer, InstanceNorm2d) \

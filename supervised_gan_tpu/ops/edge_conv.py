@@ -1298,6 +1298,24 @@ def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
         dW2T = jax.lax.dot_general(
             grT, pT, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)    # (n, s*s*co, K)
+    elif _CONVT_PATCHES == 'shifts':
+        # no patch tensor at all: one tall-reduction dot per (a, bb)
+        # shift whose rhs is a CONTIGUOUS slice view of the padded x.
+        # Replaces the (M, K) concat + its K-major relayout + S(1)
+        # staging (3 x 75 MB bf16[72,8,256,256] copies/step at the G1
+        # c64->c2 head site, round-3 fu trace); gr is re-read |D|^2
+        # times but is only s*s*co lanes wide.
+        xp = jnp.pad(x, ((0, 0), (pt, pb), (pt, pb), (0, 0)))
+        parts = []
+        for a in ds:
+            for bb in ds:
+                sl = lax.slice(xp, (0, pt + a, pt + bb, 0),
+                               (n, pt + a + O, pt + bb + OW, ci))
+                parts.append(jax.lax.dot_general(
+                    grT, sl.reshape(n, O * OW, ci),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))  # (n, s*s*co, ci)
+        dW2T = jnp.concatenate(parts, axis=2)      # (n, s*s*co, K)
     else:
         patches = _convt_patches(x, ds, pt, pb, O, OW)
         pmb = patches.reshape(n, O * OW, -1)

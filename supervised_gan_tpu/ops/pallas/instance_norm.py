@@ -383,3 +383,64 @@ def _stream_bwd(x, g, mean, rstd, slope):
 # fused conv+IN+act region when called with x = the conv output
 # (ops/pallas/conv3x3_in.py).
 stream_norm_bwd = _stream_bwd
+
+
+# --------------------------------------------------------------------- #
+# Opaque-producer IN (SGAN_TPU_IN_OPAQUE, dispatched from the nn/core
+# Sequential peephole for pallas-conv3x3 -> IN(+act) pairs only).
+#
+# Mechanism (round-3 s8/fu traces, /tmp HLO dump): when the IN's input
+# is a pallas custom-call output, the per-consumer f32 converts of the
+# no-shared-x32 rule cannot fuse upward into the (opaque) producer, so
+# CSE re-merges them into ONE convert node — which XLA then
+# materializes as a full-width f32 relayout copy + S(1) staging
+# (copy.17107 + f32[1,512,256,128] copy-start/done pairs, ~0.4-0.6
+# ms/step across the two CRN c128 sites).  The global IN_STREAM arm
+# lost -21.7 ms because it de-fused XLA-produced sites; HERE there is
+# no producer fusion to lose: stats still read x through ONE fused
+# convert_reduce pass (the only remaining f32 convert of x), while the
+# normalize/backward passes are the bf16-resident stream kernels.
+# --------------------------------------------------------------------- #
+
+def opaque_stream_ok(shape):
+    """stream_supported on a shape (the conv OUTPUT shape, pre-build)."""
+    if len(shape) != 4:
+        return False
+    n, h, w, c = shape
+    if c % 128 and (128 % c or (w * c) % 128):
+        return False
+    rows = (h * w * c) // max(c, 128)
+    return rows > 0 and _rows_block(rows) is not None
+
+
+def _opaque_fwd_impl(x, eps, slope):
+    n, h, w, c = x.shape
+    mean4 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    msq4 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                    keepdims=True)
+    var = jnp.maximum(msq4 - mean4 * mean4, 0.0)
+    inv = lax.rsqrt(var + eps)
+    mean = mean4.reshape(n, c)
+    rstd = inv.reshape(n, c)
+    return stream_apply(x, mean, rstd, slope), mean, rstd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def opaque_instance_norm_act(x, eps=1e-5, slope=None):
+    """InstanceNorm(+act) whose normalize/backward HBM traffic stays in
+    x.dtype — for inputs produced by an opaque custom call.  Callers
+    must gate on opaque_stream_ok(x.shape)."""
+    return _opaque_fwd_impl(x, eps, slope)[0]
+
+
+def _opaque_vjp_fwd(x, eps, slope):
+    y, mean, rstd = _opaque_fwd_impl(x, eps, slope)
+    return y, (x, mean, rstd)
+
+
+def _opaque_vjp_bwd(eps, slope, res, g):
+    x, mean, rstd = res
+    return (_stream_bwd(x, g, mean, rstd, slope),)
+
+
+opaque_instance_norm_act.defvjp(_opaque_vjp_fwd, _opaque_vjp_bwd)

@@ -97,6 +97,59 @@ def test_stream_fwd_bwd_matches(monkeypatch, shape, slope):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("shape,slope", [
+    ((1, 16, 16, 64), 0.2),
+    ((1, 8, 8, 128), None),
+    ((1, 8, 8, 256), 0.0),
+])
+def test_opaque_in_matches_fused(monkeypatch, shape, slope):
+    """SGAN_TPU_IN_OPAQUE path (stats via XLA reduces + stream
+    apply/backward, interpret mode) == the fused XLA form."""
+    from supervised_gan_tpu.ops.pallas import instance_norm as sin
+    monkeypatch.setattr(sin, '_INTERPRET', True)
+    x = (jax.random.normal(jax.random.PRNGKey(5), shape) * 2
+         + 0.5).astype(jnp.bfloat16)
+    g = jax.random.normal(jax.random.PRNGKey(6), shape).astype(jnp.bfloat16)
+    assert sin.opaque_stream_ok(x.shape)
+
+    def run(f):
+        def loss(x):
+            return jnp.sum(f(x, 1e-5, slope) * g.astype(jnp.float32))
+        return f(x, 1e-5, slope), jax.grad(loss)(x)
+
+    y_ref, dx_ref = run(fused_instance_norm_act)
+    y_o, dx_o = run(sin.opaque_instance_norm_act)
+    np.testing.assert_allclose(np.asarray(y_o, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dx_o, np.float32),
+                               np.asarray(dx_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_opaque_peephole_dispatch(monkeypatch):
+    """The Sequential peephole routes [Conv3x3, IN, LReLU] through the
+    opaque IN under SGAN_TPU_IN_OPAQUE and matches the gate-off chain."""
+    from supervised_gan_tpu.ops.pallas import instance_norm as sin
+    from supervised_gan_tpu.ops.pallas import conv3x3 as p3
+    from supervised_gan_tpu import nn as snn
+    nn_core = snn.core
+    monkeypatch.setattr(sin, '_INTERPRET', True)
+    monkeypatch.setattr(p3, '_INTERPRET', True)
+    seq = nn_core.Sequential(nn_core.Conv2d(128, 128, 3, 1, 1),
+                             nn_core.InstanceNorm2d(),
+                             nn_core.LeakyReLU(0.2))
+    params = seq.init(jax.random.PRNGKey(0))
+    ctx = nn_core.Ctx(compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 16, 128))
+    y0 = seq.apply(params, x, ctx)
+    monkeypatch.setattr(nn_core, '_IN_OPAQUE', True)
+    y1 = seq.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(y1, np.float32),
+                               np.asarray(y0, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_stream_unsupported_shapes():
     from supervised_gan_tpu.ops.pallas import instance_norm as sin
     assert not sin.stream_supported(jnp.zeros((1, 16, 16, 48)))   # 128 % 48
