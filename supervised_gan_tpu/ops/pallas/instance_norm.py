@@ -52,6 +52,27 @@ _USE_MOSAIC = os.environ.get('SGAN_TPU_PALLAS_IN', '') == '1'
 # normalize chains whose f32 intermediate gets relayouted at full f32
 # width before the downcast — copy.18152/18585, round-3 s8 trace)
 _OUT_BARRIER = os.environ.get('SGAN_TPU_IN_BARRIER', '0')
+# FMA normalize form: fold the stats into per-(N,C) scale/shift vectors
+# cast to x.dtype and compute y = x*s + t entirely IN x's dtype.  With
+# bf16 activations this removes every f32 elementwise node after the
+# stats reduce — nothing left for layout assignment to relayout at f32
+# width in front of rigid-layout (dot) consumers, and no barrier needed.
+# Costs one extra rounding of s/t to bf16 (~2^-9 relative) plus bf16
+# cancellation x*s - mean*s near x ~ mean.  A/B'd on device (round-3
+# batch 23): 29.093 -> 29.010 ms, reproduced twice; the f32 relayout
+# copies at the 512px IN sites vanish and the rowdots shift fusion
+# doubles its bandwidth (430 -> 904 GB/s).  Default ON ('0' restores
+# the f32 subtract form).
+_FMA = os.environ.get('SGAN_TPU_IN_FMA', '1') == '1'
+
+
+def _normalize(x, mean, inv):
+    """(x - mean) * inv with the dtype strategy chosen by SGAN_TPU_IN_FMA."""
+    if _FMA:
+        s = inv.astype(x.dtype)
+        t = (-(mean * inv)).astype(x.dtype)
+        return x * s + t
+    return ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
 
 
 def _kernel(x_ref, o_ref, *, eps, slope):
@@ -75,8 +96,7 @@ def _xla_fallback(x, eps, slope):
                    keepdims=True)
     var = jnp.maximum(msq - mean * mean, 0.0)
     # activate after the cast down — see _fwd
-    y = ((x.astype(jnp.float32) - mean)
-         * lax.rsqrt(var + eps)).astype(x.dtype)
+    y = _normalize(x, mean, lax.rsqrt(var + eps))
     if slope is not None:
         y = jnp.where(y >= 0, y, y * jnp.asarray(slope, y.dtype))
     return y
@@ -122,7 +142,7 @@ def _fwd(x, eps, slope):
     # copies at this line, round-3 trace).  Sign is preserved by the
     # cast, so the select is identical; only the slope product rounds
     # once more.
-    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
+    y = _normalize(x, mean, inv)
     if slope is not None:
         y = jnp.where(y >= 0, y, y * jnp.asarray(slope, y.dtype))
     if _OUT_BARRIER == '1' or (_OUT_BARRIER == 'big'
@@ -146,6 +166,8 @@ def _bwd(eps, slope, res, g):
     # it from the bf16 x (free — these fusions are bandwidth-bound).
 
     def xhat():
+        if _FMA:
+            return _normalize(x, mean, inv)        # x.dtype chain
         return (x.astype(jnp.float32) - mean) * inv
 
     if slope is not None:
@@ -155,6 +177,12 @@ def _bwd(eps, slope, res, g):
     gm = jnp.mean(gp, axis=(1, 2), keepdims=True, dtype=jnp.float32)
     gx = jnp.mean(gp.astype(jnp.float32) * xhat(), axis=(1, 2),
                   keepdims=True)
+    if _FMA:
+        # stay in g.dtype after the (f32) reductions: no f32 elementwise
+        # nodes for layout assignment to widen
+        dx = (gp - gm.astype(g.dtype)
+              - xhat() * gx.astype(g.dtype)) * inv.astype(g.dtype)
+        return (dx.astype(x.dtype),)
     dx = (gp.astype(jnp.float32) - gm - xhat() * gx) * inv
     return (dx.astype(x.dtype),)
 

@@ -62,6 +62,43 @@ def test_sequential_peephole_dispatch():
     np.testing.assert_allclose(y0, y1, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 1e-5),
+                                       (jnp.bfloat16, 4e-2)])
+@pytest.mark.parametrize("slope", [None, 0.2])
+def test_in_fma_form_matches(monkeypatch, dtype, tol, slope):
+    """SGAN_TPU_IN_FMA (y = x*s + t in x.dtype) == the subtract form.
+
+    In f32 the fold is near-exact; in bf16 it adds one rounding of s/t
+    plus the x*s - mean*s cancellation — bounded by a few bf16 ulps of
+    the pre-normalized magnitude."""
+    from supervised_gan_tpu.ops.pallas import instance_norm as sin
+    x = (jax.random.normal(jax.random.PRNGKey(9), (2, 16, 16, 32)) * 2
+         + 0.5).astype(dtype)
+    g = jax.random.normal(jax.random.PRNGKey(10), x.shape).astype(dtype)
+
+    def run():
+        def loss(x):
+            return jnp.sum(fused_instance_norm_act(x, 1e-5, slope)
+                           * g.astype(jnp.float32))
+        return (fused_instance_norm_act(x, 1e-5, slope),
+                jax.grad(loss)(x))
+
+    monkeypatch.setattr(sin, '_FMA', False)
+    y_ref, dx_ref = run()
+    monkeypatch.setattr(sin, '_FMA', True)
+    y_f, dx_f = run()
+    np.testing.assert_allclose(np.asarray(y_f, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=tol, atol=tol)
+    # elements where the normalized value sits within a bf16 ulp of the
+    # activation threshold can flip the leaky-relu branch between forms
+    # (a measure-zero set); exclude them from the gradient comparison
+    keep = np.abs(np.asarray(y_ref, np.float32)) > 16 * tol
+    np.testing.assert_allclose(np.asarray(dx_f, np.float32)[keep],
+                               np.asarray(dx_ref, np.float32)[keep],
+                               rtol=4 * tol, atol=4 * tol)
+
+
 # ------------------------- streaming Mosaic backend ------------------- #
 
 @pytest.mark.parametrize("shape,slope", [
@@ -85,6 +122,9 @@ def test_stream_fwd_bwd_matches(monkeypatch, shape, slope):
         y = fused_instance_norm_act(x, 1e-5, slope)
         return y, jax.grad(loss)(x)
 
+    # the stream kernels compute the f32 subtract form — compare against
+    # the matching fused form, not the (default) FMA fold
+    monkeypatch.setattr(sin, '_FMA', False)
     y_ref, dx_ref = run()
     monkeypatch.setattr(sin, '_IN_STREAM', True)
     monkeypatch.setattr(sin, '_INTERPRET', True)
@@ -107,6 +147,8 @@ def test_opaque_in_matches_fused(monkeypatch, shape, slope):
     apply/backward, interpret mode) == the fused XLA form."""
     from supervised_gan_tpu.ops.pallas import instance_norm as sin
     monkeypatch.setattr(sin, '_INTERPRET', True)
+    # the opaque apply/backward kernels compute the f32 subtract form
+    monkeypatch.setattr(sin, '_FMA', False)
     x = (jax.random.normal(jax.random.PRNGKey(5), shape) * 2
          + 0.5).astype(jnp.bfloat16)
     g = jax.random.normal(jax.random.PRNGKey(6), shape).astype(jnp.bfloat16)
