@@ -44,6 +44,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 import os as _os
@@ -71,6 +72,9 @@ _HEAD_DOT = _os.environ.get('SGAN_TPU_HEAD_DOT', 'rowmajor')
 # 3x3 s1 dw form: 'rowdots' (three free-view row dots, default after the
 # round-3 A/B: 30.67 -> 30.09 ms device) | '9dot' | 'gcols' | 'onedot'
 _MID_DW = _os.environ.get('SGAN_TPU_MID_DW', 'rowdots')
+# mid-conv fwd/dx form: 'xla' (default) or 'bandpair' (crn-style banded
+# pair dots — A/B arm, batch 25)
+_MID_FWD = _os.environ.get('SGAN_TPU_MID_FWD', 'xla')
 # dW2 patches orientation in the planar convT bwd ('kmajor' measured
 # -0.98 ms, see _head_convt_bwd_planar)
 _CONVT_PATCHES = _os.environ.get('SGAN_TPU_CONVT_PATCHES', 'mmajor')
@@ -719,7 +723,20 @@ def mid_conv(x, w, b, stride, padding):
     return _mid_fwd(x, w, b, stride, padding)
 
 
+def _mid_band_ok(x, stride, padding):
+    """Pair-packing needs s1 p1, batch 1, even width (crn_conv's form)."""
+    return (stride == 1 and padding == 1 and x.shape[0] == 1
+            and x.shape[2] % 2 == 0)
+
+
 def _mid_fwd(x, w, b, stride, padding):
+    if _MID_FWD == 'bandpair' and _mid_band_ok(x, stride, padding):
+        # banded pair dots (see _crn_fwd): at ci = co = 64 the block
+        # matrices are (128, 128) — full MXU lanes — and the dot form
+        # dodges the in-context T(2,128) conv layout + patch-build
+        # fusions (conv.py:85 block, 171-255 GB/s in the round-3 in_fma
+        # trace)
+        return _crn_fwd(x, w, b)
     y = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride),
         ((padding, padding), (padding, padding)),
@@ -737,11 +754,16 @@ def _mid_vjp_bwd(stride, padding, res, g):
     x, w, has_b = res
     kh = w.shape[0]
     # dx: the SAME-shape conv of g with the flipped, io-transposed
-    # kernel — exactly as fast as the forward
+    # kernel — same shape class as the forward, so it takes the same
+    # banded pair-dot route under SGAN_TPU_MID_FWD=bandpair
     wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
-    dx = jax.lax.conv_general_dilated(
-        g, wT, (1, 1), ((kh - 1 - padding, kh - 1 - padding),) * 2,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if (_MID_FWD == 'bandpair' and kh == 3
+            and _mid_band_ok(g, stride, padding)):
+        dx = _crn_fwd(g, wT, None)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            g, wT, (1, 1), ((kh - 1 - padding, kh - 1 - padding),) * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     # NOTE: routing this dw through the pallas kernel measured isolated
     # 2.6x (0.053 vs 0.14 ms) but LOST end-to-end — the packing
     # conversions around the custom-call do not fuse at 256px (the same
@@ -770,18 +792,24 @@ def _band_pair_out(w):
     adjacent pixels x Co lanes; input operand s is the tuple view of the
     1-px-left-padded image shifted s tuples right.  Block (p_in, p_out)
     of B[ky, s] holds w[ky, kx] with kx = 2s + p_in - p_out (the +1 from
-    the pad and the -1 from tap centering cancel), 0 <= kx < 3."""
+    the pad and the -1 from tap centering cancel), 0 <= kx < 3.
+
+    Built as ONE einsum against a constant 0/1 placement mask instead of
+    48 dynamic-update-slices (each output block receives exactly one tap
+    or zero, so the masked sum is bit-exact in any dtype; the DUS chain
+    showed up as constant_dynamic-update-slice fusions in the round-3
+    in_fma trace)."""
     ci, co = w.shape[2], w.shape[3]
-    B = jnp.zeros((3, 2, 2 * ci, 2 * co), w.dtype)
-    for ky in range(3):
-        for s in range(2):
-            for p_in in range(2):
-                for p_out in range(2):
-                    kx = 2 * s + p_in - p_out
-                    if 0 <= kx < 3:
-                        B = B.at[ky, s, p_in * ci:(p_in + 1) * ci,
-                                 p_out * co:(p_out + 1) * co].set(w[ky, kx])
-    return B
+    M = np.zeros((3, 2, 2, 2), np.float32)      # (kx, s, p_in, p_out)
+    for s in range(2):
+        for p_in in range(2):
+            for p_out in range(2):
+                kx = 2 * s + p_in - p_out
+                if 0 <= kx < 3:
+                    M[kx, s, p_in, p_out] = 1.0
+    B = jnp.einsum('yxad,xspq->yspaqd', w,
+                   jnp.asarray(M, w.dtype))    # (ky, s, p_in, ci, p_out, co)
+    return B.reshape(3, 2, 2 * ci, 2 * co)
 
 
 def _crn_fwd(x, w, b):

@@ -83,15 +83,16 @@ def avg_pool(x, kernel, stride=None, padding=0):
         # and cast once at the end.
         pow2 = (k[0] & (k[0] - 1)) == 0 and (k[1] & (k[1] - 1)) == 0
         mdt = x.dtype if pow2 else jnp.float32
-        Mh = jnp.zeros((h // k[0], h), jnp.float32)
-        Mh = Mh.at[jnp.repeat(jnp.arange(h // k[0]), k[0]),
-                   jnp.arange(h)].set(1.0 / k[0])
-        Mw = jnp.zeros((w // k[1], w), jnp.float32)
-        Mw = Mw.at[jnp.repeat(jnp.arange(w // k[1]), k[1]),
-                   jnp.arange(w)].set(1.0 / k[1])
-        y = jnp.einsum('oh,nhwc->nowc', Mh.astype(mdt), x,
+        # build the mean matrices host-side: the jnp .at[].set form
+        # lowered to a device scatter that XLA does NOT constant-fold
+        # (0.18 ms/step of jvp()/scatter in the round-3 in_fma trace)
+        Mh = np.zeros((h // k[0], h), np.float32)
+        Mh[np.repeat(np.arange(h // k[0]), k[0]), np.arange(h)] = 1.0 / k[0]
+        Mw = np.zeros((w // k[1], w), np.float32)
+        Mw[np.repeat(np.arange(w // k[1]), k[1]), np.arange(w)] = 1.0 / k[1]
+        y = jnp.einsum('oh,nhwc->nowc', jnp.asarray(Mh).astype(mdt), x,
                        preferred_element_type=jnp.float32)
-        y = jnp.einsum('pw,nhwc->nhpc', Mw.astype(mdt),
+        y = jnp.einsum('pw,nhwc->nhpc', jnp.asarray(Mw).astype(mdt),
                        y.astype(mdt),
                        preferred_element_type=jnp.float32)
         return y.astype(x.dtype)

@@ -355,3 +355,47 @@ def test_stem_conv_s2d_planar(monkeypatch, H, Ci, Co, k, s, p, N):
     monkeypatch.setattr(e, '_S2D_MODE', 'planar')
     _check(lambda x, w, b: e.stem_conv(x, w, b, s, p),
            lambda x, w, b: _xla_conv(x, w, b, s, p), x, w, b)
+
+
+@pytest.mark.parametrize("H,Ci,Co", [(128, 64, 64), (130, 32, 48)])
+def test_mid_conv_bandpair(monkeypatch, H, Ci, Co):
+    """SGAN_TPU_MID_FWD=bandpair routes mid fwd AND dx through the
+    banded pair-dot form; semantics unchanged vs the XLA conv."""
+    monkeypatch.setattr(e, "_MID_FWD", "bandpair")
+    x, w, b = _mk(H, Ci, Co, 3)
+    assert e._mid_band_ok(x, 1, 1)
+    _check(lambda x, w, b: e.mid_conv(x, w, b, 1, 1),
+           lambda x, w, b: _xla_conv(x, w, b, 1, 1), x, w, b)
+
+
+def test_mid_bandpair_gate_falls_back(monkeypatch):
+    """Odd width or batch > 1 can't pair-pack: the XLA path is used and
+    stays correct."""
+    monkeypatch.setattr(e, "_MID_FWD", "bandpair")
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 33, 33, 64), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 64, 64)) * 0.1
+    assert not e._mid_band_ok(x, 1, 1)
+    _check(lambda x, w, b: e.mid_conv(x, w, b, 1, 1),
+           lambda x, w, b: _xla_conv(x, w, b, 1, 1), x, w,
+           jnp.zeros((64,)))
+
+
+def test_band_pair_out_matches_dus_form():
+    """The einsum-with-constant-mask _band_pair_out is bit-identical to
+    the explicit block placement it replaced."""
+    w = jax.random.normal(jax.random.PRNGKey(11), (3, 3, 24, 40),
+                          jnp.float32)
+    got = e._band_pair_out(w)
+    ci, co = 24, 40
+    ref = np.zeros((3, 2, 2 * ci, 2 * co), np.float32)
+    wn = np.asarray(w)
+    for ky in range(3):
+        for s in range(2):
+            for p_in in range(2):
+                for p_out in range(2):
+                    kx = 2 * s + p_in - p_out
+                    if 0 <= kx < 3:
+                        ref[ky, s, p_in * ci:(p_in + 1) * ci,
+                            p_out * co:(p_out + 1) * co] = wn[ky, kx]
+    np.testing.assert_array_equal(np.asarray(got), ref)
