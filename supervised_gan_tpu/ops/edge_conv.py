@@ -72,9 +72,9 @@ _HEAD_DOT = _os.environ.get('SGAN_TPU_HEAD_DOT', 'rowmajor')
 # 3x3 s1 dw form: 'rowdots' (three free-view row dots, default after the
 # round-3 A/B: 30.67 -> 30.09 ms device) | '9dot' | 'gcols' | 'onedot'
 _MID_DW = _os.environ.get('SGAN_TPU_MID_DW', 'rowdots')
-# mid-conv fwd/dx form: 'xla' (default) or 'bandpair' (crn-style banded
-# pair dots — A/B arm, batch 25)
-_MID_FWD = _os.environ.get('SGAN_TPU_MID_FWD', 'xla')
+# mid-conv fwd/dx form: 'bandpair' (crn-style banded pair dots; batch-25
+# A/B: 28.82 -> 28.51 ms device) or 'xla' (the plain conv)
+_MID_FWD = _os.environ.get('SGAN_TPU_MID_FWD', 'bandpair')
 # dW2 patches orientation in the planar convT bwd ('kmajor' measured
 # -0.98 ms, see _head_convt_bwd_planar)
 _CONVT_PATCHES = _os.environ.get('SGAN_TPU_CONVT_PATCHES', 'mmajor')
