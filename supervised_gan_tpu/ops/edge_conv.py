@@ -948,10 +948,44 @@ def dw_rowdots(x, g):
     return jnp.stack(outs).reshape(3, c, 3, co).transpose(0, 2, 1, 3)
 
 
+def dw_rowdots_cmajor(x, g):
+    """dw_rowdots with ONE channel-major lhs materialization.
+
+    At the 512px c64 Pallas-conv3x3 sites the rowdots lhs "free views"
+    are not free: the dot's canonical lhs layout is channel-major and
+    the three ky row-slices start at lane offsets ky*wp (wp = 514, not
+    128-aligned), so XLA materializes THREE ~67 MB padded copies per dw
+    (fusion.150/153 in the round-3 mid_bandpair trace, 0.63 ms/step at
+    430 GB/s).  Here the padded input is transposed to channel-major
+    ONCE with its width padded to a lane multiple, after which the three
+    ky slices are tile-aligned dense sub-matrices — genuinely free.  The
+    extra zero columns contribute nothing (gcols is zero there too)."""
+    n, h, w_, c = x.shape
+    co = g.shape[-1]
+    wp = w_ + 2
+    wpa = -(-wp // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpa - wp), (0, 0)))
+    xpT = jnp.moveaxis(xp, 3, 1).reshape(n, c, (h + 2) * wpa)
+    gcols = jnp.concatenate(
+        [jnp.pad(g, ((0, 0), (0, 0), (kx, wpa - w_ - kx), (0, 0)))
+         for kx in range(3)], axis=-1).reshape(n, h * wpa, 3 * co)
+    outs = []
+    for ky in range(3):
+        lhs = lax.slice(xpT, (0, 0, ky * wpa),
+                        (n, c, ky * wpa + h * wpa))
+        outs.append(lax.dot_general(
+            lhs, gcols, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    return (jnp.stack(outs).sum(1)
+            .reshape(3, c, 3, co).transpose(0, 2, 1, 3))
+
+
 def dw3x3(x, g):
     """SAME 3x3 s1 dw in the gated form (SGAN_TPU_MID_DW)."""
     if _MID_DW == 'rowdots':
         return dw_rowdots(x, g)
+    if _MID_DW == 'rowdots_cm':
+        return dw_rowdots_cmajor(x, g)
     if _MID_DW == 'gcols':
         return dw_gcols(x, g)
     return _nine_dot_dw(x, g)

@@ -399,3 +399,15 @@ def test_band_pair_out_matches_dus_form():
                         ref[ky, s, p_in * ci:(p_in + 1) * ci,
                             p_out * co:(p_out + 1) * co] = wn[ky, kx]
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+@pytest.mark.parametrize("H,Ci,Co", [(32, 64, 64), (16, 24, 40)])
+def test_dw_rowdots_cmajor(H, Ci, Co):
+    """The lane-aligned channel-major rowdots dw equals the XLA dw."""
+    x, w, _ = _mk(H, Ci, Co, 3)
+    g = jax.random.normal(jax.random.PRNGKey(5), (1, H, H, Co))
+    _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None, 1, 1), w)
+    (ref,) = pb(g)
+    got = e.dw_rowdots_cmajor(x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
