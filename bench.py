@@ -265,6 +265,9 @@ def main():
             'head_dot': edge_mod._HEAD_DOT,
             's2d_mode': edge_mod._S2D_MODE,
             'mid_dw': edge_mod._MID_DW,
+            'mid_fwd': edge_mod._MID_FWD,
+            'in_fma': inorm_mod._FMA,
+            'flat_upd': os.environ.get('SGAN_TPU_FLAT_UPD', '1') != '0',
             'conv3_min_pixels': p3_mod._MIN_PIXELS,
             'conv3_pallas_bwd': p3_mod._PALLAS_BWD,
             'conv3_dw': p3_mod._DW_MODE,

@@ -497,6 +497,14 @@ class BaseModel:
     def set_input(self, input):
         self.input = input
 
+    def get_image_paths(self):
+        """Paths of the current batch's source images (reference
+        models/base_model.py:28; every cgan-style recipe returns
+        self.image_paths, set by its set_input).  Drivers (test.py:47,
+        test_ss.py:46, recon.py, train_ss.py) call this when saving
+        per-image results."""
+        return self.image_paths
+
     def forward(self):
         pass
 

@@ -143,3 +143,33 @@ def test_segmentation_cycle(dataroot, tmp_path):
     model.flush_checkpoints()
     model.test()
     assert model.fake_B.shape == (1, 128, 128, 2)
+
+
+def test_exec_train_ss_then_test_ss(dataroot, tmp_path, monkeypatch):
+    """Drive the REAL train_ss.py and test_ss.py entry points end-to-end
+    (regression: test_ss.py:46 calls model.get_image_paths(), which was
+    missing from the BaseModel protocol — every per-image save path
+    crashed for cgan-style recipes)."""
+    import sys
+    import train_ss as train_ss_entry
+    import test_ss as test_ss_entry
+    common = ['--dataroot', dataroot, '--name', 'exec_ss',
+              '--model', 'segmentation', '--dataset_mode', 'single',
+              '--loadSize', '128', '--fineSize', '128', '--batchSize', '1',
+              '--manualSeed', '0', '--display_id', '0',
+              '--checkpoints_dir', str(tmp_path / 'ck')]
+    # SEG_ARGS ends with the train-only --lambda_A 1 (TestOptions rejects it)
+    args = common + SEG_ARGS[:-2]
+    monkeypatch.setattr(sys, 'argv', ['train_ss.py'] + common + SEG_ARGS + [
+        '--niter', '1', '--niter_decay', '1', '--print_freq', '2',
+        '--save_epoch_freq', '2', '--nThreads', '1'])
+    train_ss_entry.main()
+    assert (tmp_path / 'ck' / 'exec_ss' / 'latest_net_G.pth').exists()
+    monkeypatch.setattr(sys, 'argv', ['test_ss.py'] + args + [
+        '--results_dir', str(tmp_path / 'res'), '--how_many', '2',
+        '--which_epoch', 'latest', '--phase', 'test',
+        '--serial_batches', '--no_flip', '--no_rotate'])
+    test_ss_entry.main()
+    imgs = list((tmp_path / 'res' / 'exec_ss' / 'test_latest'
+                 / 'images').glob('*.png'))
+    assert imgs, 'test_ss saved no per-image results'
