@@ -113,6 +113,24 @@ def test_exec_readme_sgan_step2(tmp_path, monkeypatch):
     run_train(monkeypatch, args)
     ck = tmp_path / 'ck' / 'sgan_cgan'
     assert (ck / 'latest_net_G.pth').exists()
+    # test.py's conditional branch (opt.model.startswith('cgan')) walks the
+    # dataset and saves per-image results via model.get_image_paths() —
+    # regression for the missing BaseModel protocol method
+    targs = ['--dataroot', str(tmp_path / 'data'), '--name', 'sgan_cgan',
+             '--model', 'cgan', '--which_direction', 'AtoB',
+             '--dataset_mode', 'single', '--loadSize', '256',
+             '--fineSize', '128', '--batchSize', '1', '--input_nc', '2',
+             '--output_nc', '1', '--which_model_netG', 'unet_128',
+             '--ngf', '4', '--noise_nc', '4', '--noiseSize', '4',
+             '--norm', 'instance', '--manualSeed', '0',
+             '--add_gaussian_noise', '--which_channel', 'rg_b',
+             '--serial_batches', '--no_flip', '--no_rotate',
+             '--how_many', '2', '--nThreads', '1', '--display_id', '0',
+             '--checkpoints_dir', str(tmp_path / 'ck'),
+             '--results_dir', str(tmp_path / 'res')]
+    run_test(monkeypatch, targs)
+    images = tmp_path / 'res' / 'sgan_cgan' / 'test_latest' / 'images'
+    assert sorted(images.glob('*.png')), 'cgan test.py saved no images'
 
 
 DSGAN_SMALL = dict(
