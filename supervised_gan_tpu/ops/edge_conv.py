@@ -75,6 +75,9 @@ _MID_DW = _os.environ.get('SGAN_TPU_MID_DW', 'rowdots')
 # mid-conv fwd/dx form: 'bandpair' (crn-style banded pair dots; batch-25
 # A/B: 28.82 -> 28.51 ms device) or 'xla' (the plain conv)
 _MID_FWD = _os.environ.get('SGAN_TPU_MID_FWD', 'bandpair')
+# crn halving-conv dx form: 'bandpair' (batch-27 A/B: 28.51 -> 28.35 ms
+# device) or 'xla' (the plain widening conv)
+_CRN_DX = _os.environ.get('SGAN_TPU_CRN_DX', 'bandpair')
 # dW2 patches orientation in the planar convT bwd ('kmajor' measured
 # -0.98 ms, see _head_convt_bwd_planar)
 _CONVT_PATCHES = _os.environ.get('SGAN_TPU_CONVT_PATCHES', 'mmajor')
@@ -994,9 +997,16 @@ def dw3x3(x, g):
 def _crn_vjp_bwd(stride, padding, res, g):
     x, w, has_b = res
     wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
-    dx = jax.lax.conv_general_dilated(
-        g, wT, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if _CRN_DX == 'bandpair' and _mid_band_ok(g, 1, 1):
+        # the widening dx (co -> ci) through the same banded pair dots as
+        # the forward: in-context the XLA conv pays 255 GB/s patch-build
+        # fusions at the 256px sites (fusion.328/332, round-3
+        # mid_bandpair trace) that the dot form doesn't
+        dx = _crn_fwd(g, wT, None)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            g, wT, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     dw = dw3x3(x, g).astype(w.dtype)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
     return dx.astype(x.dtype), dw, db

@@ -411,3 +411,12 @@ def test_dw_rowdots_cmajor(H, Ci, Co):
     got = e.dw_rowdots_cmajor(x, g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_crn_conv_bandpair_dx(monkeypatch):
+    """SGAN_TPU_CRN_DX=bandpair routes the crn halving conv's widening dx
+    through the banded pair-dot form; vjp unchanged vs XLA."""
+    monkeypatch.setattr(e, "_CRN_DX", "bandpair")
+    x, w, b = _mk(32, 128, 64, 3)
+    _check(lambda x, w, b: e.crn_conv(x, w, b, 1, 1),
+           lambda x, w, b: _xla_conv(x, w, b, 1, 1), x, w, b)
