@@ -847,16 +847,23 @@ def _crn_fwd(x, w, b):
     return y
 
 
+_CRN_MIN_PIXELS = int(_os.environ.get('SGAN_TPU_CRN_MIN_PIXELS',
+                                      str(128 * 128)))
+
+
 def crn_conv_supported(x, w, stride, padding):
     """k3 s1 p1 halving convs: ci = 2*co = 128 (the CRN pyramid's
-    concat(label-embed, upsampled-features) inputs), batch 1, even width,
-    >= 256^2 pixels (the smaller pyramid scales are too cheap to matter
-    and small-size dispatch risks the usual composition tax)."""
+    concat(label-embed, upsampled-features) inputs), batch 1, even width.
+    The pixel gate is tunable (SGAN_TPU_CRN_MIN_PIXELS): the batch-28 A/B
+    lowered it 256^2 -> 128^2 — the 128px halving conv's XLA dW alone ran
+    at 90 GB/s / 0.15 ms/step (fusion.7722 + convert_add_fusion.37,
+    round-3 mid_bandpair trace); below 128^2 the sites are too cheap to
+    matter and small-size dispatch risks the usual composition tax."""
     kh, kw, ci, co = w.shape
     n, h, wd, _ = x.shape
     return (kh == kw and kh == 3 and stride == 1 and padding == 1
             and ci == 128 and co == 64 and n == 1
-            and wd % 2 == 0 and h * wd >= 256 * 256)
+            and wd % 2 == 0 and h * wd >= _CRN_MIN_PIXELS)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

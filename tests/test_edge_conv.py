@@ -196,7 +196,7 @@ def test_crn_conv_gates():
     x, w, _ = _mk(256, 128, 64, 3)
     assert e.crn_conv_supported(x, w, 1, 1)
     assert not e.crn_conv_supported(x, w, 2, 1)      # strided
-    x, w, _ = _mk(128, 128, 64, 3)                   # too small
+    x, w, _ = _mk(64, 128, 64, 3)                    # too small
     assert not e.crn_conv_supported(x, w, 1, 1)
     x, w, _ = _mk(256, 64, 64, 3)                    # ci != 2co
     assert not e.crn_conv_supported(x, w, 1, 1)
