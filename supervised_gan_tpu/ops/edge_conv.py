@@ -1333,6 +1333,63 @@ def convt_dw_planar(x, w, g, stride, padding):
     return _dw2_to_w(dW2, taps, ds, k, s, ci, co, w.dtype)
 
 
+def convt_dw_rowdots(x, w, g):
+    """dW of the k4 s2 p1 ConvTranspose (pre-flipped HWIO storage) as
+    FOUR row-grouped MXU dots — the dw_rowdots recipe transposed to the
+    convT geometry.
+
+    From the lhs-dilated form y[Y,X,d] = sum w[ky,kx,a,d] xd[Y+ky-2,
+    X+kx-2,a] (xd = 2-dilated x): with cotangent phase planes
+    G[q][r][i,j,d] = g[2i+q, 2j+r, d],
+
+        dW[ky,kx,a,d] = sum_{i,j} x[i-dlt(ky), j-eps(kx), a]
+                                   * G[ky%2][kx%2][i, j, d]
+
+    with dlt/eps = (+1, 0, 0, -1).  The lhs for row ky is a contiguous
+    row-slice view of the 1-px-padded x (the shifts never touch lanes);
+    the four kx taps ride the rhs as zero-embedded lane concats of the
+    phase planes (4co lanes).  Unlike 'densedw' (convt_dw_planar) there
+    is NO |D|^2 patch concat of x, and unlike 'shifts' the dots contract
+    the full M = h*(w+2) dim with (ci, 4co) = (128, 128) outputs — the
+    geometry that won for conv3x3 (dw_rowdots, batch 16).  Phase planes
+    come from two multiply-reduce stages (file header rule: never a
+    strided slice)."""
+    n, h, wd, ci = x.shape
+    co = g.shape[-1]
+    g = g.astype(x.dtype)
+    # pixel-major phase planes G[q][r]: (n, h, wd, co)
+    gv = g.reshape(n, h, 2, 2 * wd, co)
+    eye = jnp.eye(2, dtype=g.dtype)
+    rowp = [jnp.sum(gv * eye[q][None, None, :, None, None], axis=2)
+            for q in range(2)]
+    planes = {}
+    for q in range(2):
+        pv = rowp[q].reshape(n, h, wd, 2, co)
+        for r in range(2):
+            planes[(q, r)] = jnp.sum(
+                pv * eye[r][None, None, None, :, None], axis=3)
+    dlt = {0: 1, 1: 0, 2: 0, 3: -1}
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wp = wd + 2
+    outs = []
+    for ky in range(4):
+        q = ky % 2
+        # rhs[.., jp, kx*co+d] = G[q][kx%2][.., jp-1+eps(kx), d]:
+        # embed each plane at col start 1-eps(kx) in a (wd+2)-wide strip
+        rhs = jnp.concatenate(
+            [jnp.pad(planes[(q, kx % 2)],
+                     ((0, 0), (0, 0),
+                      (1 - dlt[kx], wp - wd - 1 + dlt[kx]), (0, 0)))
+             for kx in range(4)], axis=-1).reshape(n, h * wp, 4 * co)
+        lhs = lax.slice(xp, (0, 1 - dlt[ky], 0, 0),
+                        (n, 1 - dlt[ky] + h, wp, ci)).reshape(n, h * wp, ci)
+        outs.append(lax.dot_general(
+            lhs, rhs, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))     # (n, ci, 4co)
+    dw = jnp.stack(outs).sum(1)                      # (4, ci, 4co)
+    return dw.reshape(4, ci, 4, co).transpose(0, 2, 1, 3)
+
+
 def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
     """head_convt backward that consumes the cotangent CHANNEL-MAJOR.
 

@@ -279,13 +279,13 @@ def _vjp_fwd(x, w, b):
     return _convt_fwd(x, w, b), (x, w, b is not None)
 
 
-# backward form: 'xla' = joint XLA grads of the lhs-dilated conv;
-# 'dense' = edge_conv's channel-generic dense phase-dot backward
-# (dW2 = patches^T @ row-phase cotangent blocks, dx = stem/trunk dot).
-# Motivation (round-3 v2_confirm trace): the joint form's dw half runs
-# at 53 GB/s / 13 TF/s at the F2 decoder sites (fusion.9660/9661,
-# ~0.5 ms/step incl. its convert_add epilogue).
-_BWD_MODE = _os.environ.get('SGAN_TPU_CONVT_BWD', 'xla')
+# backward form: 'rowdw' (default; batch-29 A/B 28.15 -> 27.89 ms: dx
+# XLA, dw as four row-grouped (ci, 4co) dots with no x patch concat —
+# edge_conv.convt_dw_rowdots); 'xla' = joint XLA grads of the
+# lhs-dilated conv (its dw half runs at 48-56 GB/s at the F2 decoder
+# sites); 'dense'/'densedw' = the patch-concat phase forms (both
+# measured negative, batches 14/19)
+_BWD_MODE = _os.environ.get('SGAN_TPU_CONVT_BWD', 'rowdw')
 
 
 def _vjp_bwd(res, g):
@@ -300,6 +300,15 @@ def _vjp_bwd(res, g):
         _, pullx = jax.vjp(lambda xv: _xla_convt(xv, w, None), x)
         (dx,) = pullx(g)
         dw = edge_conv.convt_dw_planar(x, w, g, 2, 1)
+        db = jnp.sum(g, axis=(0, 1, 2)) if has_b else None
+        return dx, dw, db
+    if _BWD_MODE == 'rowdw':
+        # dx via XLA; dw as four row-grouped (ci, 4co) dots with NO x
+        # patch concat (edge_conv.convt_dw_rowdots — batch-29 arm)
+        from .. import edge_conv
+        _, pullx = jax.vjp(lambda xv: _xla_convt(xv, w, None), x)
+        (dx,) = pullx(g)
+        dw = edge_conv.convt_dw_rowdots(x, w, g).astype(w.dtype)
         db = jnp.sum(g, axis=(0, 1, 2)) if has_b else None
         return dx, dw, db
     # joint XLA grads of the equivalent lhs-dilated conv: dx is a plain

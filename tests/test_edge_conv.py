@@ -420,3 +420,16 @@ def test_crn_conv_bandpair_dx(monkeypatch):
     x, w, b = _mk(32, 128, 64, 3)
     _check(lambda x, w, b: e.crn_conv(x, w, b, 1, 1),
            lambda x, w, b: _xla_conv(x, w, b, 1, 1), x, w, b)
+
+
+@pytest.mark.parametrize("H,Ci,Co", [(16, 128, 32), (10, 24, 8)])
+def test_convt_dw_rowdots(H, Ci, Co):
+    """The four row-grouped convT dW dots equal XLA's joint dw for the
+    k4 s2 p1 lhs-dilated form (pre-flipped kernel storage)."""
+    x, w, _ = _mk(H, Ci, Co, 4)
+    g = jax.random.normal(jax.random.PRNGKey(9), (1, 2 * H, 2 * H, Co))
+    _, pb = jax.vjp(lambda wv: _xla_convt(x, wv, None, 2, 1), w)
+    (ref,) = pb(g)
+    got = e.convt_dw_rowdots(x, w, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
