@@ -50,6 +50,9 @@ _EDGE_TRUNK = _EDGE and os.environ.get("SGAN_TPU_EDGE_TRUNK", "1") != "0"
 # the co >= 64 phase interleave is lane-friendly, unlike the c2 heads)
 _EDGE_TRUNK_CT = _EDGE and os.environ.get("SGAN_TPU_EDGE_TRUNK_CT",
                                           "1") != "0"
+# trunk dw (k4s2 128->256 D2 sites: XLA fwd/dx kept, dw replaced by the
+# eight row-grouped dots of edge_conv.conv_dw_rowdots_s2 — batch-30 arm)
+_EDGE_TRUNK_DW = _EDGE and os.environ.get("SGAN_TPU_TRUNK_DW", "0") != "0"
 
 
 def _cast(x, w, compute_dtype):
@@ -89,6 +92,9 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
         if _EDGE_CRN and edge_conv.crn_conv_supported(x, w, stride,
                                                       padding):
             return edge_conv.crn_conv(x, w, b, stride, padding)
+        if _EDGE_TRUNK_DW and edge_conv.trunk_dw_supported(x, w, stride,
+                                                           padding):
+            return edge_conv.trunk_dw_conv(x, w, b, stride, padding)
     s = (stride, stride) if isinstance(stride, int) else stride
     p = ((padding, padding), (padding, padding)) if isinstance(padding, int) else padding
     y = lax.conv_general_dilated(

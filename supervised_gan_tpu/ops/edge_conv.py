@@ -1390,6 +1390,93 @@ def convt_dw_rowdots(x, w, g):
     return dw.reshape(4, ci, 4, co).transpose(0, 2, 1, 3)
 
 
+def conv_dw_rowdots_s2(x, g):
+    """dW of a k4 s2 p1 conv as EIGHT row-grouped MXU dots — the convT
+    rowdw recipe mirrored to the forward conv (phases live on x):
+
+        dW[ky,kx,a,d] = sum_{i,j} XP[ky%2][kx%2][i+ky//2, j+kx//2, a]
+                                   * g[i,j,d]
+
+    with XP the four multiply-reduce phase planes of the 1-px-padded x.
+    One dot per (ky, kx%2): lhs = a contiguous row-slice view of the
+    phase plane, rhs = the cotangent lane-concat at col offsets {0, 1}
+    (2co lanes).  No patch concat, full-M contractions.  Built for the
+    D2 trunk 128->256 sites whose joint XLA dw runs at 76-98 GB/s
+    (fusion.684 + convert_add_fusion.20, round-3 crn_128px trace)."""
+    n, h, wd, ci = x.shape
+    oh, ow, co = g.shape[1], g.shape[2], g.shape[3]
+    g = g.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    H2, W2 = (h + 2) // 2, (wd + 2) // 2
+    eye = jnp.eye(2, dtype=x.dtype)
+    xv = xp.reshape(n, H2, 2, wd + 2, ci)
+    rowp = [jnp.sum(xv * eye[q][None, None, :, None, None], axis=2)
+            for q in range(2)]
+    XP = {}
+    for q in range(2):
+        pv = rowp[q].reshape(n, H2, W2, 2, ci)
+        for r in range(2):
+            XP[(q, r)] = jnp.sum(
+                pv * eye[r][None, None, None, :, None], axis=3)
+    rhs = jnp.concatenate(
+        [jnp.pad(g, ((0, 0), (0, 0), (eps, W2 - ow - eps), (0, 0)))
+         for eps in (0, 1)], axis=-1).reshape(n, oh * W2, 2 * co)
+    blocks = {}
+    for ky in range(4):
+        q, dlt = ky % 2, ky // 2
+        for r in range(2):
+            lhs = lax.slice(XP[(q, r)], (0, dlt, 0, 0),
+                            (n, dlt + oh, W2, ci))
+            d = lax.dot_general(
+                lhs.reshape(n, oh * W2, ci), rhs,
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # (n, ci, 2co)
+            blocks[(ky, r)] = d.sum(0)
+    return jnp.stack([jnp.stack(
+        [blocks[(ky, kx % 2)][:, (kx // 2) * co:(kx // 2 + 1) * co]
+         for kx in range(4)]) for ky in range(4)])       # (4,4,ci,co)
+
+
+def trunk_dw_supported(x, w, stride, padding):
+    """k4 s2 p1 trunk convs whose XLA dw is bandwidth-starved: the
+    measured-slow pocket is ci = 128 -> co = 256 (the D2 PatchGAN
+    mid-depth doubling) — deeper sites (256->512+) are already MXU-bound
+    in XLA (646-1572 GB/s equivalents) and shallower ones ride the
+    s2d/stem forms."""
+    kh, kw, ci, co = w.shape
+    n, h, wd, _ = x.shape
+    return (kh == kw == 4 and stride == 2 and padding == 1
+            and ci == 128 and co == 256 and h % 2 == 0 and wd % 2 == 0
+            and h * wd >= 64 * 64)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def trunk_dw_conv(x, w, b, stride, padding):
+    """Plain XLA k4s2 conv whose backward splits dx (XLA, strong) from
+    dw (conv_dw_rowdots_s2).  Callers gate on trunk_dw_supported;
+    semantics = ops.conv.conv2d."""
+    return _mid_fwd(x, w, b, 2, padding)
+
+
+def _trunk_dw_vjp_fwd(x, w, b, stride, padding):
+    return _mid_fwd(x, w, b, 2, padding), (x, w, b is not None)
+
+
+def _trunk_dw_vjp_bwd(stride, padding, res, g):
+    x, w, has_b = res
+    _, pullx = jax.vjp(
+        lambda xv: jax.lax.conv_general_dilated(
+            xv, w.astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")), x)
+    (dx,) = pullx(g)
+    dw = conv_dw_rowdots_s2(x, g).astype(w.dtype)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32) if has_b else None
+    return dx.astype(x.dtype), dw, db
+
+
+trunk_dw_conv.defvjp(_trunk_dw_vjp_fwd, _trunk_dw_vjp_bwd)
+
+
 def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
     """head_convt backward that consumes the cotangent CHANNEL-MAJOR.
 

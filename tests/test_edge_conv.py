@@ -433,3 +433,25 @@ def test_convt_dw_rowdots(H, Ci, Co):
     got = e.convt_dw_rowdots(x, w, g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("H,Ci,Co", [(16, 128, 256), (12, 24, 8)])
+def test_conv_dw_rowdots_s2(H, Ci, Co):
+    """The eight row-grouped k4s2 conv dW dots equal XLA's joint dw."""
+    x, w, _ = _mk(H, Ci, Co, 4)
+    oh = H // 2
+    g = jax.random.normal(jax.random.PRNGKey(13), (1, oh, oh, Co))
+    _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None, 2, 1), w)
+    (ref,) = pb(g)
+    got = e.conv_dw_rowdots_s2(x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_trunk_dw_conv_vjp():
+    """trunk_dw_conv (XLA fwd/dx + rowdots-s2 dw) matches the plain conv
+    fwd + vjp."""
+    x, w, b = _mk(64, 128, 256, 4)
+    assert e.trunk_dw_supported(x, w, 2, 1)
+    _check(lambda x, w, b: e.trunk_dw_conv(x, w, b, 2, 1),
+           lambda x, w, b: _xla_conv(x, w, b, 2, 1), x, w, b)
