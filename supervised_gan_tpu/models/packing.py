@@ -31,10 +31,47 @@ import jax.numpy as jnp
 from jax import tree_util as jtu
 
 DEFAULT_THRESHOLD = 4 * 1024 * 1024
+# FlatAdam's small-leaf rule (element count, not bytes) — grouped param
+# buffers must classify leaves EXACTLY like models/base._pack_small_leaves
+# or the concat-folding below breaks (harmlessly: it just stops folding).
+_GROUP_COUNT_THRESHOLD = 1 << 20
 
 
 def packing_enabled():
     return os.environ.get('SGAN_TPU_PACK_STATE', '1') != '0'
+
+
+def group_packing_enabled():
+    """One boundary f32 buffer per params SUBTREE (instead of one
+    shared f32 buffer for every small leaf in the state).
+
+    With the FlatAdam packed update (SGAN_TPU_FLAT_UPD) each group's new
+    parameters are ordered slices of ONE flat vector; a boundary repack
+    buffer that spans a contiguous run of that vector's leaves in the
+    same order folds to a slice of the update's output buffer —
+    zero-copy — where the shared buffer pays a real multi-group gather
+    (three f32 concats, 47 MB/step at 330-490 GB/s: concatenate.1239/
+    1235/988 at packing.py:97, round-3 s10 trace)."""
+    return os.environ.get('SGAN_TPU_GROUP_PACK', '0') == '1'
+
+
+def _param_groups(template):
+    """{params_key: group_name}: one boundary buffer per params SUBTREE
+    ('G1', 'D2', ...).  A subtree's small leaves are a contiguous
+    segment of its optimizer group's FlatAdam flat vector (groups pack
+    subtrees in the same sorted tree-flatten order, and big leaves are
+    excluded on both sides by the same count rule), so each per-subtree
+    boundary concat folds to ONE slice of the update output — where the
+    state-wide shared f32 buffer gathers across all three groups plus
+    stray leaves and XLA must materialize it.  Keyed on the subtree
+    name directly so every recipe's state layout works (fcgan stores
+    optD/optG beside params, the engine recipes store 'opt')."""
+    if not isinstance(template, dict):
+        return {}
+    params = template.get('params')
+    if not isinstance(params, dict):
+        return {}
+    return {k: k for k in params}
 
 
 class PackedState:
@@ -68,13 +105,30 @@ def materialize_state(state):
 
 class StatePacker:
     def __init__(self, template, threshold=DEFAULT_THRESHOLD):
-        leaves, self.treedef = jtu.tree_flatten(template)
+        paths_leaves, self.treedef = jtu.tree_flatten_with_path(template)
+        groups = _param_groups(template) if group_packing_enabled() else {}
         self.plan = []
         offs = {}
-        for l in leaves:
+        for path, l in paths_leaves:
             nbytes = int(l.size) * jnp.dtype(l.dtype).itemsize
             dt = jnp.dtype(l.dtype).name
-            if nbytes < threshold:
+            grp = None
+            if groups and len(path) >= 2 and dt == 'float32':
+                k0 = getattr(path[0], 'key', None)
+                k1 = getattr(path[1], 'key', None)
+                if k0 == 'params' and k1 in groups:
+                    grp = groups[k1]
+            if grp is not None:
+                # FlatAdam classification: count, not bytes
+                if int(l.size) < _GROUP_COUNT_THRESHOLD:
+                    key = f'{dt}:{grp}'
+                    off = offs.get(key, 0)
+                    self.plan.append((key, off, int(l.size),
+                                      tuple(l.shape)))
+                    offs[key] = off + int(l.size)
+                else:
+                    self.plan.append(None)
+            elif nbytes < threshold:
                 off = offs.get(dt, 0)
                 self.plan.append((dt, off, int(l.size), tuple(l.shape)))
                 offs[dt] = off + int(l.size)

@@ -64,6 +64,37 @@ _OUT_BARRIER = os.environ.get('SGAN_TPU_IN_BARRIER', '0')
 # doubles its bandwidth (430 -> 904 GB/s).  Default ON ('0' restores
 # the f32 subtract form).
 _FMA = os.environ.get('SGAN_TPU_IN_FMA', '1') == '1'
+# Stats form: '2pass' computes mean and mean-of-squares as two separate
+# jnp.mean reduces (per-consumer converts — the no-shared-x32 rule);
+# 'pair' computes both in ONE variadic lax.reduce whose input fusion
+# reads x once (the two separate convert_reduce fusions each read the
+# full activation: profiled 584 GB/s effective = 2x read amplification
+# at the 512px IN sites, round-3 s10 trace, convert_reduce_fusion.6/7).
+_STATS = os.environ.get('SGAN_TPU_IN_STATS', '2pass')
+
+
+def _stats_mean_pair(x):
+    """One-pass f32 (mean, mean-of-squares) over axes (1, 2) of an NHWC
+    activation, keepdims — a single variadic reduce so x is read once."""
+    xf = x.astype(jnp.float32)
+    s1, s2 = lax.reduce((xf, xf * xf),
+                        (jnp.float32(0), jnp.float32(0)),
+                        lambda a, b: (a[0] + b[0], a[1] + b[1]), (1, 2))
+    n, _, _, c = x.shape
+    npix = x.shape[1] * x.shape[2]
+    return (s1 / npix).reshape(n, 1, 1, c), (s2 / npix).reshape(n, 1, 1, c)
+
+
+def _stats_mean_msq(x):
+    """f32 (mean, mean-of-squares) over axes (1, 2), keepdims, in the
+    form chosen by SGAN_TPU_IN_STATS."""
+    if _STATS == 'pair':
+        return _stats_mean_pair(x)
+    # NO shared x32 node — see _xla_fallback
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    msq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                   keepdims=True)
+    return mean, msq
 
 
 def _normalize(x, mean, inv):
@@ -91,9 +122,7 @@ def _xla_fallback(x, eps, slope):
     # (64 MB) and relayouted between them (profiled ~1 ms/step of
     # f32[512,512,64] copies at the IN sites, round-3 trace); per-consumer
     # converts duplicate into each fusion instead (convert_reduce_fusion).
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    msq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
-                   keepdims=True)
+    mean, msq = _stats_mean_msq(x)
     var = jnp.maximum(msq - mean * mean, 0.0)
     # activate after the cast down — see _fwd
     y = _normalize(x, mean, lax.rsqrt(var + eps))
@@ -129,10 +158,7 @@ def _fwd(x, eps, slope):
         return y, (x, mean, rstd)
     # residuals carry the (tiny) per-channel stats so the backward skips
     # the full statistics pass over x (one read instead of two).
-    # Same no-shared-x32 rule as _xla_fallback: per-consumer converts.
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    msq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
-                   keepdims=True)
+    mean, msq = _stats_mean_msq(x)
     var = jnp.maximum(msq - mean * mean, 0.0)
     inv = lax.rsqrt(var + eps)
     # normalize in f32, but activate AFTER the cast down: the activated
@@ -174,9 +200,20 @@ def _bwd(eps, slope, res, g):
         gp = jnp.where(xhat() >= 0, g, g * jnp.asarray(slope, g.dtype))
     else:
         gp = g
-    gm = jnp.mean(gp, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    gx = jnp.mean(gp.astype(jnp.float32) * xhat(), axis=(1, 2),
-                  keepdims=True)
+    if _STATS == 'pair':
+        # one-pass: g (and x via xhat) read once by the variadic reduce
+        gp32 = gp.astype(jnp.float32)
+        s1, s2 = lax.reduce((gp32, gp32 * xhat()),
+                            (jnp.float32(0), jnp.float32(0)),
+                            lambda a, b: (a[0] + b[0], a[1] + b[1]), (1, 2))
+        n, _, _, c = x.shape
+        npix = x.shape[1] * x.shape[2]
+        gm = (s1 / npix).reshape(n, 1, 1, c)
+        gx = (s2 / npix).reshape(n, 1, 1, c)
+    else:
+        gm = jnp.mean(gp, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        gx = jnp.mean(gp.astype(jnp.float32) * xhat(), axis=(1, 2),
+                      keepdims=True)
     if _FMA:
         # stay in g.dtype after the (f32) reductions: no f32 elementwise
         # nodes for layout assignment to widen
@@ -443,9 +480,7 @@ def opaque_stream_ok(shape):
 
 def _opaque_fwd_impl(x, eps, slope):
     n, h, w, c = x.shape
-    mean4 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    msq4 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
-                    keepdims=True)
+    mean4, msq4 = _stats_mean_msq(x)
     var = jnp.maximum(msq4 - mean4 * mean4, 0.0)
     inv = lax.rsqrt(var + eps)
     mean = mean4.reshape(n, c)

@@ -99,6 +99,37 @@ def test_in_fma_form_matches(monkeypatch, dtype, tol, slope):
                                rtol=4 * tol, atol=4 * tol)
 
 
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 1e-5),
+                                       (jnp.bfloat16, 4e-2)])
+@pytest.mark.parametrize("slope", [None, 0.2])
+def test_in_stats_pair_matches(monkeypatch, dtype, tol, slope):
+    """SGAN_TPU_IN_STATS=pair (one variadic reduce for mean+msq) == the
+    two-pass jnp.mean form, forward and backward."""
+    from supervised_gan_tpu.ops.pallas import instance_norm as sin
+    x = (jax.random.normal(jax.random.PRNGKey(11), (2, 16, 16, 32)) * 2
+         + 0.5).astype(dtype)
+    g = jax.random.normal(jax.random.PRNGKey(12), x.shape).astype(dtype)
+
+    def run():
+        def loss(x):
+            return jnp.sum(fused_instance_norm_act(x, 1e-5, slope)
+                           * g.astype(jnp.float32))
+        return (fused_instance_norm_act(x, 1e-5, slope),
+                jax.grad(loss)(x))
+
+    monkeypatch.setattr(sin, '_STATS', '2pass')
+    y_ref, dx_ref = run()
+    monkeypatch.setattr(sin, '_STATS', 'pair')
+    y_p, dx_p = run()
+    np.testing.assert_allclose(np.asarray(y_p, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=tol, atol=tol)
+    keep = np.abs(np.asarray(y_ref, np.float32)) > 16 * tol
+    np.testing.assert_allclose(np.asarray(dx_p, np.float32)[keep],
+                               np.asarray(dx_ref, np.float32)[keep],
+                               rtol=4 * tol, atol=4 * tol)
+
+
 # ------------------------- streaming Mosaic backend ------------------- #
 
 @pytest.mark.parametrize("shape,slope", [
