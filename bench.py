@@ -221,7 +221,9 @@ def main():
     from supervised_gan_tpu.ops import edge_conv as edge_mod
     from supervised_gan_tpu.ops.pallas import conv3x3 as p3_mod
     from supervised_gan_tpu.ops.pallas import instance_norm as inorm_mod
+    from supervised_gan_tpu.ops.pallas import convt4s2 as ct4_mod
     from supervised_gan_tpu.nn import core as core_mod
+    from supervised_gan_tpu.models import packing as pack_mod
     errors = model.get_current_errors()
     finite = bool(np.all(np.isfinite(list(errors.values()))))
 
@@ -266,13 +268,18 @@ def main():
             's2d_mode': edge_mod._S2D_MODE,
             'mid_dw': edge_mod._MID_DW,
             'mid_fwd': edge_mod._MID_FWD,
+            'crn_dx': edge_mod._CRN_DX,
+            'crn_min_pixels': edge_mod._CRN_MIN_PIXELS,
             'in_fma': inorm_mod._FMA,
+            'in_stats': inorm_mod._STATS,
             'flat_upd': os.environ.get('SGAN_TPU_FLAT_UPD', '1') != '0',
             'conv3_min_pixels': p3_mod._MIN_PIXELS,
             'conv3_pallas_bwd': p3_mod._PALLAS_BWD,
             'conv3_dw': p3_mod._DW_MODE,
             'conv3_dx': p3_mod._DX_MODE,
             'conv4s2': os.environ.get('SGAN_TPU_CONV4S2', '0'),
+            'convt_bwd': ct4_mod._BWD_MODE,
+            'group_pack': pack_mod.group_packing_enabled(),
             'conv3_in_fused': core_mod._CONV3_IN_FUSED,
             'in_stream': inorm_mod._IN_STREAM,
             'pack_state': os.environ.get('SGAN_TPU_PACK_STATE', '1'),
