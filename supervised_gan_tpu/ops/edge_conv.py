@@ -70,7 +70,9 @@ _HCT_BWD = _os.environ.get('SGAN_TPU_HCT_BWD', 'planar')
 # costs more elsewhere in the dot/epilogue than the reshape it removes.
 _HEAD_DOT = _os.environ.get('SGAN_TPU_HEAD_DOT', 'rowmajor')
 # 3x3 s1 dw form: 'rowdots' (three free-view row dots, default after the
-# round-3 A/B: 30.67 -> 30.09 ms device) | '9dot' | 'gcols' | 'onedot'
+# round-3 A/B: 30.67 -> 30.09 ms device) | 'rowcols' (the three row dots
+# merged into ONE (3c, 3co) dot — see dw_rowcols) | '9dot' | 'gcols' |
+# 'onedot'
 _MID_DW = _os.environ.get('SGAN_TPU_MID_DW', 'rowdots')
 # mid-conv fwd/dx form: 'bandpair' (crn-style banded pair dots; batch-25
 # A/B: 28.82 -> 28.51 ms device) or 'xla' (the plain conv)
@@ -958,6 +960,38 @@ def dw_rowdots(x, g):
     return jnp.stack(outs).reshape(3, c, 3, co).transpose(0, 2, 1, 3)
 
 
+def dw_rowcols(x, g):
+    """dw of a SAME 3x3 conv as ONE (3c, 3co) dot over lane-concatenated
+    row bands — dw_rowdots with the three ky dots merged.
+
+    rowdots' three ky dots share the same (M', 3co) gcols rhs, so the
+    dots re-read it three times (round-3 base_s10 trace: six 0.162
+    ms/step dot fusions at the two 512px c64 Pallas sites, 833 GB/s —
+    bandwidth-bound on the re-reads, not MXU-bound).  Here the three ky
+    row bands — the same layout-preserving full-row views rowdots feeds
+    its lhs dots — are lane-concatenated to (M', 3c) (the exact
+    mechanism as the g-side gcols, one bandwidth fusion, no strided
+    slices), and a single dot contracts both 3-block operands:
+    t[ky*c+ci, kx*co+o] = sum_M xp[i+ky, j, ci] * gpad[i, j-kx, o]
+    = dw[ky, kx, ci, o].  Dot traffic: (3c + 3co) * M' read ONCE vs
+    rowdots' (3c + 9co) * M'.  Unlike the round-2 'onedot' im2col form
+    (9ci-wide strided patches, a 75 MB relayout) the kx taps ride the
+    rhs, so the lhs is 3c wide and every slice is contiguous."""
+    n, h, w_, c = x.shape
+    co = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wp = w_ + 2
+    xcols = jnp.concatenate(
+        [lax.slice(xp, (0, ky, 0, 0), (n, ky + h, wp, c))
+         for ky in range(3)], axis=-1).reshape(n * h * wp, 3 * c)
+    gcols = jnp.concatenate(
+        [jnp.pad(g, ((0, 0), (0, 0), (kx, 2 - kx), (0, 0)))
+         for kx in range(3)], axis=-1).reshape(n * h * wp, 3 * co)
+    t = lax.dot_general(xcols, gcols, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    return t.reshape(3, c, 3, co).transpose(0, 2, 1, 3)
+
+
 def dw_rowdots_cmajor(x, g):
     """dw_rowdots with ONE channel-major lhs materialization.
 
@@ -994,6 +1028,8 @@ def dw3x3(x, g):
     """SAME 3x3 s1 dw in the gated form (SGAN_TPU_MID_DW)."""
     if _MID_DW == 'rowdots':
         return dw_rowdots(x, g)
+    if _MID_DW == 'rowcols':
+        return dw_rowcols(x, g)
     if _MID_DW == 'rowdots_cm':
         return dw_rowdots_cmajor(x, g)
     if _MID_DW == 'gcols':
@@ -1387,6 +1423,48 @@ def convt_dw_rowdots(x, w, g):
             lhs, rhs, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32))     # (n, ci, 4co)
     dw = jnp.stack(outs).sum(1)                      # (4, ci, 4co)
+    return dw.reshape(4, ci, 4, co).transpose(0, 2, 1, 3)
+
+
+def convt_dw_rowpairs(x, w, g):
+    """convt_dw_rowdots with the two ky rows of each cotangent phase
+    merged into ONE (2ci, 4co) dot.
+
+    The four ky dots use only TWO distinct rhs strips (q = ky % 2), each
+    read twice.  Lane-concatenating the ky and ky+2 lhs row bands (the
+    same free full-row views) halves the dot count and reads each rhs
+    once: dot traffic (2ci + 4co) * M per phase vs (2ci + 8co) * M."""
+    n, h, wd, ci = x.shape
+    co = g.shape[-1]
+    g = g.astype(x.dtype)
+    gv = g.reshape(n, h, 2, 2 * wd, co)
+    eye = jnp.eye(2, dtype=g.dtype)
+    rowp = [jnp.sum(gv * eye[q][None, None, :, None, None], axis=2)
+            for q in range(2)]
+    planes = {}
+    for q in range(2):
+        pv = rowp[q].reshape(n, h, wd, 2, co)
+        for r in range(2):
+            planes[(q, r)] = jnp.sum(
+                pv * eye[r][None, None, None, :, None], axis=3)
+    dlt = {0: 1, 1: 0, 2: 0, 3: -1}
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wp = wd + 2
+    blocks = {}
+    for q in range(2):
+        rhs = jnp.concatenate(
+            [jnp.pad(planes[(q, kx % 2)],
+                     ((0, 0), (0, 0),
+                      (1 - dlt[kx], wp - wd - 1 + dlt[kx]), (0, 0)))
+             for kx in range(4)], axis=-1).reshape(n, h * wp, 4 * co)
+        lhs = jnp.concatenate(
+            [lax.slice(xp, (0, 1 - dlt[ky], 0, 0),
+                       (n, 1 - dlt[ky] + h, wp, ci))
+             for ky in (q, q + 2)], axis=-1).reshape(n, h * wp, 2 * ci)
+        d = lax.dot_general(lhs, rhs, (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32).sum(0)
+        blocks[q], blocks[q + 2] = d[:ci], d[ci:]
+    dw = jnp.stack([blocks[ky] for ky in range(4)])  # (4, ci, 4co)
     return dw.reshape(4, ci, 4, co).transpose(0, 2, 1, 3)
 
 

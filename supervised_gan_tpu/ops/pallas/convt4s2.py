@@ -279,13 +279,15 @@ def _vjp_fwd(x, w, b):
     return _convt_fwd(x, w, b), (x, w, b is not None)
 
 
-# backward form: 'rowdw' (default; batch-29 A/B 28.15 -> 27.89 ms: dx
-# XLA, dw as four row-grouped (ci, 4co) dots with no x patch concat —
+# backward form: 'rowpairdw' (default; batch-34 A/B 27.89 -> 27.72 ms:
+# the two ky rows per cotangent phase merged into one (2ci, 4co) dot —
+# edge_conv.convt_dw_rowpairs); 'rowdw' (batch-29: dx XLA, dw as four
+# row-grouped (ci, 4co) dots with no x patch concat —
 # edge_conv.convt_dw_rowdots); 'xla' = joint XLA grads of the
 # lhs-dilated conv (its dw half runs at 48-56 GB/s at the F2 decoder
 # sites); 'dense'/'densedw' = the patch-concat phase forms (both
 # measured negative, batches 14/19)
-_BWD_MODE = _os.environ.get('SGAN_TPU_CONVT_BWD', 'rowdw')
+_BWD_MODE = _os.environ.get('SGAN_TPU_CONVT_BWD', 'rowpairdw')
 
 
 def _vjp_bwd(res, g):
@@ -302,13 +304,17 @@ def _vjp_bwd(res, g):
         dw = edge_conv.convt_dw_planar(x, w, g, 2, 1)
         db = jnp.sum(g, axis=(0, 1, 2)) if has_b else None
         return dx, dw, db
-    if _BWD_MODE == 'rowdw':
-        # dx via XLA; dw as four row-grouped (ci, 4co) dots with NO x
-        # patch concat (edge_conv.convt_dw_rowdots — batch-29 arm)
+    if _BWD_MODE in ('rowdw', 'rowpairdw'):
+        # dx via XLA; dw as row-grouped (ci, 4co) dots with NO x patch
+        # concat (edge_conv.convt_dw_rowdots — batch-29 arm); rowpairdw
+        # merges the two ky rows per cotangent phase into one dot
         from .. import edge_conv
         _, pullx = jax.vjp(lambda xv: _xla_convt(xv, w, None), x)
         (dx,) = pullx(g)
-        dw = edge_conv.convt_dw_rowdots(x, w, g).astype(w.dtype)
+        if _BWD_MODE == 'rowpairdw':
+            dw = edge_conv.convt_dw_rowpairs(x, w, g).astype(w.dtype)
+        else:
+            dw = edge_conv.convt_dw_rowdots(x, w, g).astype(w.dtype)
         db = jnp.sum(g, axis=(0, 1, 2)) if has_b else None
         return dx, dw, db
     # joint XLA grads of the equivalent lhs-dilated conv: dx is a plain

@@ -174,6 +174,22 @@ def test_dw_rowdots(H, Ci, Co, N):
                                rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.parametrize("H,W,Ci,Co", [(16, 16, 8, 4), (32, 32, 64, 64),
+                                       (17, 24, 32, 64)])
+@pytest.mark.parametrize("N", [1, 2])
+def test_dw_rowcols(H, W, Ci, Co, N):
+    """The merged one-dot row-band dw equals the XLA conv dw."""
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (N, H, W, Ci), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, Ci, Co)) * 0.1
+    g = jax.random.normal(jax.random.fold_in(key, 2), (N, H, W, Co))
+    _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None, 1, 1), w)
+    (ref,) = pb(g)
+    got = e.dw_rowcols(x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
+
+
 @pytest.mark.parametrize("H,Ci,Co,k,s,p", [(128, 64, 64, 3, 1, 1)])
 def test_mid_conv(H, Ci, Co, k, s, p):
     x, w, b = _mk(H, Ci, Co, k)
@@ -432,6 +448,9 @@ def test_convt_dw_rowdots(H, Ci, Co):
     (ref,) = pb(g)
     got = e.convt_dw_rowdots(x, w, g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
+    got2 = e.convt_dw_rowpairs(x, w, g)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                rtol=2e-5, atol=2e-4)
 
 

@@ -265,6 +265,23 @@ def test_sequential_peephole_conv_in_act(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_dw_rowcols_mode_matches_xla(monkeypatch):
+    """SGAN_TPU_CONV3_DW=rowcols routes dw through the merged one-dot
+    row-band form; grads must match the XLA conv's."""
+    monkeypatch.setattr(p3, '_DW_MODE', 'rowcols')
+    x, w, b = _mk(16, 32, 64, seed=11)
+    g = jax.random.normal(jax.random.PRNGKey(17), (1, 16, 32, 64))
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(f(x, w, b) * g)
+
+    gp = jax.grad(loss(p3.conv3x3_same), argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss(p3._xla_conv), argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_dx_pallas_mode_matches_xla(monkeypatch):
     """SGAN_TPU_CONV3_DX=pallas routes dx through the forward kernel on
     the flipped/io-transposed weights; grads must match the XLA conv's."""
