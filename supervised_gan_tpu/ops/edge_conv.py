@@ -992,6 +992,36 @@ def dw_rowcols(x, g):
     return t.reshape(3, c, 3, co).transpose(0, 2, 1, 3)
 
 
+def dw_rowpair02(x, g):
+    """dw_rowdots with the ky = 0 and ky = 2 dots merged into ONE
+    (2c, 3co) dot — the batch-34 rowpair recipe, conservatively.
+
+    The full three-way merge (dw_rowcols) canonicalized to M-on-lanes
+    layouts and paid 293 GB/s physical reshapes of both operands
+    (batch 33).  Here only the outer row bands lane-concat (2c = 128
+    lanes at the c64 dispatch sites — one full lane tile) while the
+    dot form stays the rowdots one; gcols is re-read twice per dw
+    instead of three times."""
+    n, h, w_, c = x.shape
+    co = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wp = w_ + 2
+    gcols = jnp.concatenate(
+        [jnp.pad(g, ((0, 0), (0, 0), (kx, 2 - kx), (0, 0)))
+         for kx in range(3)], axis=-1).reshape(n * h * wp, 3 * co)
+    lhs02 = jnp.concatenate(
+        [lax.slice(xp, (0, ky, 0, 0), (n, ky + h, wp, c))
+         for ky in (0, 2)], axis=-1).reshape(n * h * wp, 2 * c)
+    d02 = lax.dot_general(lhs02, gcols, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    lhs1 = lax.slice(xp, (0, 1, 0, 0),
+                     (n, 1 + h, wp, c)).reshape(n * h * wp, c)
+    d1 = lax.dot_general(lhs1, gcols, (((0,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    dw = jnp.stack([d02[:c], d1, d02[c:]])
+    return dw.reshape(3, c, 3, co).transpose(0, 2, 1, 3)
+
+
 def dw_rowdots_cmajor(x, g):
     """dw_rowdots with ONE channel-major lhs materialization.
 

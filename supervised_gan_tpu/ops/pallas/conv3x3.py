@@ -525,7 +525,8 @@ def _vjp_bwd(res, g):
             # lowered below the kernel's packing rules): XLA dw.
             _, pb = jax.vjp(lambda wv: _xla_conv(x, wv, None), w)
             (dw,) = pb(g)
-    elif _DW_MODE in ('9dot', 'gcols', 'rowdots', 'rowdots_cm', 'rowcols'):
+    elif _DW_MODE in ('9dot', 'gcols', 'rowdots', 'rowdots_cm', 'rowcols',
+                      'rowpair02'):
         # XLA dx conv (keeps its fusions) + dot-form dw: nine K-major
         # dots (9dot), one pre-transposed single dot (gcols), or three
         # free-view row dots (rowdots — see ops/edge_conv.dw_rowdots)
@@ -546,6 +547,9 @@ def _vjp_bwd(res, g):
         elif _DW_MODE == 'rowcols':
             from ..edge_conv import dw_rowcols
             dw = dw_rowcols(x, g).astype(w.dtype)
+        elif _DW_MODE == 'rowpair02':
+            from ..edge_conv import dw_rowpair02
+            dw = dw_rowpair02(x, g).astype(w.dtype)
         elif _DW_MODE == 'rowdots_cm':
             from ..edge_conv import dw_rowdots_cmajor
             dw = dw_rowdots_cmajor(x, g).astype(w.dtype)

@@ -188,6 +188,9 @@ def test_dw_rowcols(H, W, Ci, Co, N):
     got = e.dw_rowcols(x, g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-4)
+    got2 = e.dw_rowpair02(x, g)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
 
 
 @pytest.mark.parametrize("H,Ci,Co,k,s,p", [(128, 64, 64, 3, 1, 1)])
