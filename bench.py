@@ -264,6 +264,7 @@ def main():
             # echo must reflect what the step actually ran with
             'hct_mode': edge_mod._HCT_MODE,
             'hct_bwd': edge_mod._HCT_BWD,
+            'hct_dw': edge_mod._HCT_DW,
             'head_dot': edge_mod._HEAD_DOT,
             's2d_mode': edge_mod._S2D_MODE,
             'mid_dw': edge_mod._MID_DW,

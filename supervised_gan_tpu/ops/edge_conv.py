@@ -83,6 +83,16 @@ _CRN_DX = _os.environ.get('SGAN_TPU_CRN_DX', 'bandpair')
 # dW2 patches orientation in the planar convT bwd ('kmajor' measured
 # -0.98 ms, see _head_convt_bwd_planar)
 _CONVT_PATCHES = _os.environ.get('SGAN_TPU_CONVT_PATCHES', 'mmajor')
+# head-convT dW form: 'patches' reuses the forward's |D|^2 patch concat
+# for the dW2 dot — but that SECOND consumer wants a K-major tiling, so
+# XLA shuttles the 37.7 MB buffer back into S(1) and tile-transposes it
+# (session-12 HLO: copy-start.1/.5 + the copy.2592x trio at the G1
+# c64->c2 head sites, ~0.85 ms/step).  'rowpairs'/'rowdots' compute dW
+# with the batch-34 convT row-dot recipe instead (k4 s2 p1 only; no
+# patch reuse — the forward concat keeps ONE consumer and never
+# round-trips).  A/B device (batch 36): 27.716 -> 26.773 ms, 35.8
+# img/s — rowpairs is the default ('patches' restores the reuse form).
+_HCT_DW = _os.environ.get('SGAN_TPU_HCT_DW', 'rowpairs')
 
 
 def _pad_hw(x, ph, pw):
@@ -1614,6 +1624,15 @@ def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
     G = [None] * s
     hsplit = [_deint_h_planes(wplanes[r], s) for r in range(s)]
     G = [[hsplit[r][q] for r in range(s)] for q in range(s)]
+    if (_HCT_DW in ('rowpairs', 'rowdots') and k == 4 and s == 2
+            and padding == 1 and H == 2 * h and X == 2 * wd):
+        # no patch reuse: the forward's |D|^2 concat keeps one consumer
+        # (see _HCT_DW note at the top of the file)
+        dw_fn = convt_dw_rowpairs if _HCT_DW == 'rowpairs' \
+            else convt_dw_rowdots
+        dw = dw_fn(x, w, g).astype(w.dtype)
+        return _head_convt_bwd_dx(x, w, g, G, stride, padding,
+                                  taps, O, OW), dw, db
     # dw: dW2^T = g_rows @ patches, rows ordered (q, r, co) to match
     # _dw2_to_w's column order — the phase planes ARE the rows
     rows = []
@@ -1655,10 +1674,20 @@ def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
             preferred_element_type=jnp.float32)    # (n, s*s*co, K)
     dW2 = jnp.swapaxes(dW2T.sum(0), 0, 1)          # (K, s*s*co) — tiny
     dw = _dw2_to_w(dW2, taps, ds, k, s, ci, co, w.dtype)
-    # dx = conv(g, wT, stride=s, padding=p) — output grid (h, wd), the
-    # convT's input grid — from the phase planes: tap (ky, kx) reads
-    # plane ((ky-p) mod s, (kx-p) mod s) at block offset
-    # ((ky-p)//s, (kx-p)//s): k*k contiguous views, one dense dot
+    return _head_convt_bwd_dx(x, w, g, G, stride, padding,
+                              taps, O, OW), dw, db
+
+
+def _head_convt_bwd_dx(x, w, g, G, stride, padding, taps, O, OW):
+    """dx of the planar head-convT backward = conv(g, wT, stride=s,
+    padding=p) — output grid (h, wd), the convT's input grid — from the
+    phase planes G[q][r] (n, co, O, OW): tap (ky, kx) reads plane
+    ((ky-p) mod s, (kx-p) mod s) at block offset ((ky-p)//s, (kx-p)//s):
+    k*k contiguous views, one dense dot."""
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    s = stride
     wT = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(g.dtype)
     amin = (0 - padding) // s
     amax = (k - 1 - padding) // s
@@ -1685,8 +1714,7 @@ def _head_convt_bwd_planar(x, w, g, stride, padding, has_b):
         pg, wT.reshape(k * k * co, ci),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)        # (n, h*wd, ci)
-    dx = dx.reshape(n, h, wd, ci).astype(x.dtype)
-    return dx, dw, db
+    return dx.reshape(n, h, wd, ci).astype(x.dtype)
 
 
 def _head_convt_vjp_fwd(x, w, b, stride, padding):

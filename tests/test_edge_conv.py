@@ -336,6 +336,27 @@ def test_head_convt_bwd_patch_modes(monkeypatch, patches, H, Ci, Co, k, s,
            lambda x, w, b: _xla_convt(x, w, b, s, p), x, w, b)
 
 
+# SGAN_TPU_HCT_DW: the row-dot dW forms (no patch reuse) match the
+# patch-based planar bwd — k4 s2 p1 geometries only; other geometries
+# must fall through to the patches path unchanged.
+@pytest.mark.parametrize("dw_mode", ["rowpairs", "rowdots"])
+@pytest.mark.parametrize("H,Ci,Co,k,s,p,N", [
+    (16, 64, 2, 4, 2, 1, 1), (16, 32, 1, 4, 2, 1, 2),
+    (16, 64, 4, 4, 2, 1, 1),
+    (9, 16, 2, 3, 3, 0, 1)])   # non-k4s2p1: exercises the fallthrough
+def test_head_convt_bwd_dw_modes(monkeypatch, dw_mode, H, Ci, Co, k, s,
+                                 p, N):
+    monkeypatch.setattr(e, '_HCT_BWD', 'planar')
+    monkeypatch.setattr(e, '_HCT_DW', dw_mode)
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (N, H, H, Ci), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 1), (k, k, Ci, Co)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(key, 2), (Co,)) * 0.1
+    assert e.head_convt_supported(x, w, s, p)
+    _check(lambda x, w, b: e.head_convt(x, w, b, s, p),
+           lambda x, w, b: _xla_convt(x, w, b, s, p), x, w, b)
+
+
 # SGAN_TPU_HEAD_DOT: the channel-major (kmajor) and row-major head-conv
 # dot orientations are the same math in both orders.
 @pytest.mark.parametrize("mode", ["kmajor", "rowmajor", "planar"])
