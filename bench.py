@@ -108,7 +108,9 @@ def main():
     from supervised_gan_tpu.options import TrainOptions
     from supervised_gan_tpu.models import create_model
 
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    cache_before = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
+    t_setup0 = time.perf_counter()
 
     opt = TrainOptions().parse(DSGAN_ARGS)
     model = create_model(opt)
@@ -128,6 +130,7 @@ def main():
     for _ in range(5):
         model.optimize_parameters()
     model.get_current_errors()   # value fetch = true barrier
+    warmup_s = time.perf_counter() - t_setup0
 
     windows = []
     for _ in range(N_WINDOWS):
@@ -253,6 +256,15 @@ def main():
         'device_rate_img_s': (round(1e3 / device_ms * opt.batchSize, 2)
                               if device_ms else None),
         'backend': jax.default_backend(),
+        # Cold-compile visibility (round-3 verdict #4): a contaminated
+        # window shows up as new cache entries + a long warmup.  The axon
+        # TPU backend cannot serialize executables, so on-device runs show
+        # misses==compiles regardless; warmup_s is the honest signal there.
+        'cache_dir': cache_dir,
+        'cache_entries_before': cache_before,
+        'cache_entries_added': (len(os.listdir(cache_dir)) - cache_before
+                                if os.path.isdir(cache_dir) else None),
+        'warmup_compile_s': round(warmup_s, 1),
         'gates': {
             'edge_conv': {'head': conv_mod._EDGE_HEAD,
                           'stem': conv_mod._EDGE_STEM,

@@ -21,9 +21,15 @@ def enable_compilation_cache(cache_dir=None):
     plat = os.environ.get('SGAN_TPU_PLATFORM')
     if plat:
         jax.config.update('jax_platforms', plat)
+    # Default the cache INSIDE the repo tree: this environment wipes /tmp
+    # and ~/.cache between sessions (observed between bench sessions —
+    # BENCH_NOTES session 13: a wipe put a ~19 min cold compile in front of
+    # the first run), while the repo directory persists.  A repo-local
+    # default keeps the driver's bench/dryrun warm across wipes.
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     path = cache_dir or os.environ.get(
-        'SGAN_TPU_XLA_CACHE',
-        os.path.join(os.path.expanduser('~'), '.cache', 'sgan_tpu_xla'))
+        'SGAN_TPU_XLA_CACHE', os.path.join(repo_root, '.xla_cache'))
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update('jax_compilation_cache_dir', path)

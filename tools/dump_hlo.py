@@ -38,6 +38,9 @@ def main():
     enable_compilation_cache()
     opt = TrainOptions().parse(DSGAN_ARGS)
     model = create_model(opt)
+    # bench-config-only tool: with a mesh active, model._train_step comes
+    # from shard_train_step and the lowering targets below don't apply
+    assert model.mesh is None, 'dump_hlo.py supports the no-mesh bench config only'
     rng = np.random.RandomState(0)
     batch = {'A': rng.uniform(-1, 1, (opt.batchSize, opt.fineSize,
                                       opt.fineSize, 3)).astype(np.float32),
@@ -49,7 +52,7 @@ def main():
     if isinstance(model.state, PackedState):
         packed = model.state.packed
         pjit_step = model._train_step._pjit
-    else:                       # --no pack_state fallback: plain jit
+    else:                       # SGAN_TPU_PACK_STATE=0 fallback: plain jit
         packed = model.state
         pjit_step = model._train_step
     t0 = time.time()
