@@ -177,8 +177,22 @@ class StatePacker:
             return self.pack(st), metrics, taps
 
         from ..runtime import compiler_options_from_env
+        jit_kwargs = {}
+        if os.environ.get('SGAN_TPU_AUTO_LAYOUT', '0') == '1':
+            # Round-4 structural probe: AUTO parameter layouts for the
+            # donated packed state.  The packed per-dtype buffers are 1-D
+            # (no layout freedom), but the big conv kernels ride alongside
+            # as 4-D `bigs` — AUTO lets XLA pick their HBM layouts to match
+            # their consumers instead of paying per-step relayout copies.
+            # Donation keeps state in the chosen layout across steps; the
+            # first call pays a one-time host->chosen-layout copy.
+            from jax.experimental.layout import Format, Layout
+            auto = Format(Layout.AUTO)
+            jit_kwargs = {'in_shardings': (auto, None, None, None),
+                          'out_shardings': (auto, None, None)}
         pjit_step = jax.jit(packed_step, donate_argnums=(0,),
-                            compiler_options=compiler_options_from_env())
+                            compiler_options=compiler_options_from_env(),
+                            **jit_kwargs)
 
         def call(state, inputs, key, lrs):
             if isinstance(state, PackedState):

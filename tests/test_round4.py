@@ -1,0 +1,91 @@
+"""Round-4 surface: repo-local compile cache default, the parameterized
+quality-eval geometry builder, and the SGAN_TPU_AUTO_LAYOUT probe path
+(AUTO parameter layouts on the donated packed state)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, 'tools'))
+
+from supervised_gan_tpu.models import create_model
+from supervised_gan_tpu.models.packing import PackedState
+from supervised_gan_tpu.options import TrainOptions
+
+
+def test_cache_dir_defaults_inside_repo(monkeypatch):
+    """/tmp and ~/.cache get wiped between sessions; the default cache
+    dir must live under the repo tree (runtime/cache.py)."""
+    from supervised_gan_tpu.runtime import enable_compilation_cache
+    monkeypatch.delenv('SGAN_TPU_XLA_CACHE', raising=False)
+    monkeypatch.delenv('SGAN_TPU_PLATFORM', raising=False)
+    path = enable_compilation_cache()
+    assert path == os.path.join(ROOT, '.xla_cache')
+    assert os.path.isdir(path)
+
+
+def test_build_args_geometry():
+    """fcgan label = noiseSize*2^(n+1) must land at px/2 (bilinear_2
+    doubles it); CRN consumes a pool64 label."""
+    from quality_eval import build_args, GAN_NET_ARGS
+
+    # 128px must reproduce the r03 constants exactly
+    net128, _, _, _ = build_args(128, 8)
+    assert net128 == GAN_NET_ARGS
+
+    def val(lst, flag):
+        return lst[lst.index(flag) + 1]
+
+    for px in (128, 256, 512):
+        net, train, ss_net, ss_train = build_args(px, 16)
+        n_g1 = int(val(net, '--n_layers_G1'))
+        assert 4 * 2 ** (n_g1 + 1) == px // 2
+        assert int(val(net, '--noiseSize2')) == px // 64
+        assert int(val(net, '--fineSize')) == px
+        assert val(net, '--ngf1') == val(net, '--ngf2') == '16'
+        # D depth scales with resolution
+        assert val(train, '--n_layers_D1') == ('2' if px == 128 else '3')
+
+
+FCGAN_ARGS = [
+    '--dataroot', '/tmp/unused', '--name', 'auto_t', '--model', 'fcgan',
+    '--which_direction', 'A', '--dataset_mode', 'single',
+    '--loadSize', '32', '--fineSize', '32', '--batchSize', '1',
+    '--which_model_netG', 'deconv', '--n_layers_G', '3', '--ngf', '4',
+    '--which_model_netD', 'n_layers', '--n_layers_D', '2', '--ndf', '4',
+    '--scale_factor', '1', '--lambda_D', '1.0', '--noise_nc', '2',
+    '--noiseSize', '2', '--norm', 'instance', '--no_dropout',
+    '--n_update_G', '1', '--no_lsgan', '--which_channel', 'rg_b',
+    '--manualSeed', '7', '--display_id', '0',
+]
+
+
+def _run3(tmp_path, name):
+    opt = TrainOptions().parse(
+        FCGAN_ARGS + ['--checkpoints_dir', str(tmp_path), '--name', name])
+    model = create_model(opt)
+    rng = np.random.RandomState(3)
+    batch = {'A': rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),
+             'A_paths': ['x.png']}
+    for _ in range(3):
+        model.set_input(batch)
+        model.optimize_parameters()
+    assert isinstance(model.state, PackedState)
+    return model.get_current_errors()
+
+
+@pytest.mark.slow
+def test_auto_layout_training_matches(tmp_path, monkeypatch):
+    """SGAN_TPU_AUTO_LAYOUT=1 (AUTO layouts on the donated packed state)
+    must not change training numerics — layouts are physical only."""
+    monkeypatch.setenv('SGAN_TPU_PACK_STATE', '1')
+    monkeypatch.delenv('SGAN_TPU_AUTO_LAYOUT', raising=False)
+    e_ref = _run3(tmp_path, 'auto_off')
+    monkeypatch.setenv('SGAN_TPU_AUTO_LAYOUT', '1')
+    e_auto = _run3(tmp_path, 'auto_on')
+    for k in e_ref:
+        np.testing.assert_allclose(e_auto[k], e_ref[k], rtol=2e-4,
+                                   atol=2e-4)

@@ -18,6 +18,17 @@ Run:  python tools/quality_eval.py [--epochs_gan 30] [--epochs_ss 20]
       [--samples 32] [--platform cpu|tpu] [--skip_torch]
 Writes QUALITY_r03.json at the repo root; intermediate state under
 /tmp/quality_r03/.
+
+Round 4 (verdict item 2: a quality number at recipe scale on the real
+chip): the geometry is parameterized — ``--px`` (128/256/512), ``--ngf``
+(width multiplier for every net), ``--train_n/--test_n`` dataset sizes,
+``--out`` artifact path.  The torch mirror stays 128px-only (it exists
+to prove parity, done in r03); at other scales use --skip_torch and
+read the result against the same-scale real-pairs upper bound:
+
+  python tools/quality_eval.py --px 256 --ngf 16 --train_n 32 \
+      --samples 64 --epochs_gan 50 --epochs_ss 20 --platform tpu \
+      --skip_torch --out QUALITY_r04.json
 """
 
 import argparse
@@ -43,65 +54,83 @@ GEN = os.path.join(WORK, 'gen')
 CKPT = os.path.join(WORK, 'ckpt')
 RESULTS = os.path.join(WORK, 'results')
 
-# 128px DSGAN geometry (reduced README recipe: fcgan G1 n3 -> 64px label
-# -> bilinear x2 -> CRN G2; unet F2; 1-scale D1/D2)
-GAN_NET_ARGS = [
-    '--model', 'twostage_cycle', '--which_direction', 'AtoB',
-    '--dataset_mode', 'single', '--loadSize', '128', '--fineSize', '128',
-    '--transform_1to2', 'bilinear_2', '--which_channel', 'rg_b',
-    '--which_model_netG1', 'fcgan', '--n_layers_G1', '3', '--ngf1', '8',
-    '--noiseSize1', '4', '--noise_nc1', '8',
-    '--which_model_netG2', 'crn', '--ngf2', '8',
-    '--upsample_mode2', 'bilinear', '--n_layers_CRN_block2', '2',
-    '--which_model_netF2', 'unet_128', '--nff2', '8',
-    '--noiseSize2', '2', '--noise_nc2', '8',
-    '--norm', 'instance', '--no_dropout1', '--manualSeed', '0',
-]
-GAN_TRAIN_ARGS = GAN_NET_ARGS + [
-    '--batchSize', '1',
-    '--which_model_netD1', 'n_layers', '--n_layers_D1', '2', '--ndf1', '8',
-    '--scale_factor1', '1', '--lambda_D1', '0.5',
-    '--which_model_netD2', 'n_layers', '--n_layers_D2', '2', '--ndf2', '8',
-    '--scale_factor2', '1', '--lambda_D2', '0.5',
-    '--lambda_A', '10', '--lambda_B', '10', '--lambda_A_cycle', '5',
-    '--lambda_fake_cycle', '1', '--no_lsgan1', '--no_lsgan2',
-    '--GAN_losses_D2', 'real_fake', '--GAN_losses_G2', 'real_fake',
-    '--n_update_G', '1', '--pool_size', '16', '--lr1', '0.0002',
-    '--lr2', '0.0002', '--print_freq', '64', '--display_id', '0',
-]
-SS_NET_ARGS = [
-    '--model', 'segmentation', '--which_direction', 'AtoB',
-    '--dataset_mode', 'single', '--loadSize', '128', '--fineSize', '128',
-    '--batchSize', '1', '--which_channel', 'b_rg',
-    '--which_model_netG', 'unet_128', '--ngf', '8', '--noise_nc', '4',
-    '--noiseSize', '4', '--norm', 'instance',
-    '--which_metric', 'RandScore', 'meanIU',
-    '--which_model_netD', 'None', '--manualSeed', '0', '--display_id', '0',
-]
-SS_TRAIN_ARGS = SS_NET_ARGS + [
-    '--lambda_A', '1', '--print_freq', '64',
-]
+def build_args(px=128, ngf=8):
+    """DSGAN + segmentation CLI arg lists for a square ``px`` geometry
+    (reduced README recipe: fcgan G1 -> px/2 label -> bilinear x2 -> CRN
+    G2; unet F2; 1-scale D1/D2).  fcgan upsamples noiseSize*2^(n+1), so
+    n_layers_G1 = log2(px)-4 puts the G1 label at px/2 with noiseSize 4
+    (px=128 -> n3, matching r03; px=512 -> n5, matching bench.py).  CRN
+    consumes a pool64 label, noiseSize2 = px//64.  D depth scales with
+    resolution (2 layers at 128px, 3 above)."""
+    import math
+    n_g1 = int(math.log2(px)) - 4
+    n_d = 2 if px <= 128 else 3
+    gan_net = [
+        '--model', 'twostage_cycle', '--which_direction', 'AtoB',
+        '--dataset_mode', 'single', '--loadSize', str(px),
+        '--fineSize', str(px),
+        '--transform_1to2', 'bilinear_2', '--which_channel', 'rg_b',
+        '--which_model_netG1', 'fcgan', '--n_layers_G1', str(n_g1),
+        '--ngf1', str(ngf), '--noiseSize1', '4', '--noise_nc1', '8',
+        '--which_model_netG2', 'crn', '--ngf2', str(ngf),
+        '--upsample_mode2', 'bilinear', '--n_layers_CRN_block2', '2',
+        '--which_model_netF2', 'unet_128', '--nff2', str(ngf),
+        '--noiseSize2', str(px // 64), '--noise_nc2', '8',
+        '--norm', 'instance', '--no_dropout1', '--manualSeed', '0',
+    ]
+    gan_train = gan_net + [
+        '--batchSize', '1',
+        '--which_model_netD1', 'n_layers', '--n_layers_D1', str(n_d),
+        '--ndf1', str(ngf), '--scale_factor1', '1', '--lambda_D1', '0.5',
+        '--which_model_netD2', 'n_layers', '--n_layers_D2', str(n_d),
+        '--ndf2', str(ngf), '--scale_factor2', '1', '--lambda_D2', '0.5',
+        '--lambda_A', '10', '--lambda_B', '10', '--lambda_A_cycle', '5',
+        '--lambda_fake_cycle', '1', '--no_lsgan1', '--no_lsgan2',
+        '--GAN_losses_D2', 'real_fake', '--GAN_losses_G2', 'real_fake',
+        '--n_update_G', '1', '--pool_size', '16', '--lr1', '0.0002',
+        '--lr2', '0.0002', '--print_freq', '64', '--display_id', '0',
+    ]
+    ss_net = [
+        '--model', 'segmentation', '--which_direction', 'AtoB',
+        '--dataset_mode', 'single', '--loadSize', str(px),
+        '--fineSize', str(px),
+        '--batchSize', '1', '--which_channel', 'b_rg',
+        '--which_model_netG', 'unet_128', '--ngf', str(ngf),
+        '--noise_nc', '4', '--noiseSize', '4', '--norm', 'instance',
+        '--which_metric', 'RandScore', 'meanIU',
+        '--which_model_netD', 'None', '--manualSeed', '0',
+        '--display_id', '0',
+    ]
+    ss_train = ss_net + ['--lambda_A', '1', '--print_freq', '64']
+    return gan_net, gan_train, ss_net, ss_train
 
 
-def make_dataset(root, seed=0):
-    """128px VNC-style synthetic: R,G sparse binary label blobs, B image
-    correlated with the labels (so segmentation has signal to learn)."""
+# 128px defaults, kept for the r03 reproduction and the torch mirror
+GAN_NET_ARGS, GAN_TRAIN_ARGS, SS_NET_ARGS, SS_TRAIN_ARGS = build_args()
+
+
+def make_dataset(root, seed=0, px=128, counts=(8, 4, 8)):
+    """VNC-style synthetic at ``px``: R,G sparse binary label blobs, B
+    image correlated with the labels (so segmentation has signal to
+    learn).  Blob count/radius scale with area so density matches the
+    128px original."""
     rng = np.random.RandomState(seed)
     from PIL import Image
-    for phase, n in (('train', 8), ('val', 4), ('test', 8)):
+    s = px // 128
+    for phase, n in zip(('train', 'val', 'test'), counts):
         d = os.path.join(root, phase)
         os.makedirs(d, exist_ok=True)
         for i in range(n):
-            r = np.zeros((128, 128), np.float32)
-            for _ in range(6):                     # blobby foreground
-                cy, cx = rng.randint(10, 118, 2)
-                yy, xx = np.ogrid[:128, :128]
+            r = np.zeros((px, px), np.float32)
+            for _ in range(6 * s * s):             # blobby foreground
+                cy, cx = rng.randint(10 * s, px - 10 * s, 2)
+                yy, xx = np.ogrid[:px, :px]
                 r += ((yy - cy) ** 2 + (xx - cx) ** 2
-                      < rng.randint(5, 14) ** 2).astype(np.float32)
+                      < rng.randint(5 * s, 14 * s) ** 2).astype(np.float32)
             r = (r > 0).astype(np.float32)
             g = 1.0 - r
-            img = (0.7 * r + 0.15 * rng.rand(128, 128)
-                   + 0.1 * np.roll(r, 3, 0))
+            img = (0.7 * r + 0.15 * rng.rand(px, px)
+                   + 0.1 * np.roll(r, 3 * s, 0))
             arr = np.stack([r, g, np.clip(img, 0, 1)], -1)
             Image.fromarray((arr * 255).astype(np.uint8)).save(
                 os.path.join(d, '%03d.png' % i))
@@ -139,7 +168,9 @@ def parse_ss_metrics(out):
     return m
 
 
-def jax_pipeline(epochs_gan, epochs_ss, samples, platform):
+def jax_pipeline(epochs_gan, epochs_ss, samples, platform,
+                 GAN_NET_ARGS=GAN_NET_ARGS, GAN_TRAIN_ARGS=GAN_TRAIN_ARGS,
+                 SS_NET_ARGS=SS_NET_ARGS, SS_TRAIN_ARGS=SS_TRAIN_ARGS):
     name = 'q3_gan'
     run(['train.py', '--dataroot', REAL, '--name', name,
          '--checkpoints_dir', CKPT, '--niter', str(epochs_gan),
@@ -364,15 +395,26 @@ def main():
     ap.add_argument('--samples', type=int, default=32)
     ap.add_argument('--platform', default='cpu')
     ap.add_argument('--skip_torch', action='store_true')
+    ap.add_argument('--px', type=int, default=128)
+    ap.add_argument('--ngf', type=int, default=8)
+    ap.add_argument('--train_n', type=int, default=8)
+    ap.add_argument('--val_n', type=int, default=4)
+    ap.add_argument('--test_n', type=int, default=8)
+    ap.add_argument('--out', default='QUALITY_r03.json')
     args = ap.parse_args()
+    if args.px != 128 and not args.skip_torch:
+        ap.error('the torch mirror is 128px-only; pass --skip_torch')
 
     shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK, exist_ok=True)
-    make_dataset(REAL)
+    make_dataset(REAL, px=args.px,
+                 counts=(args.train_n, args.val_n, args.test_n))
+    arg_lists = build_args(args.px, args.ngf)
 
     t0 = time.time()
     ours, upper, n_gen = jax_pipeline(args.epochs_gan, args.epochs_ss,
-                                      args.samples, args.platform)
+                                      args.samples, args.platform,
+                                      *arg_lists)
     t_ours = time.time() - t0
     print('ours:', ours, flush=True)
     print('upper bound (real pairs):', upper, flush=True)
@@ -390,10 +432,11 @@ def main():
         'pipeline': 'train DSGAN -> test.py sample -> train_ss on generated '
                     'pairs -> test_ss on real held-out set '
                     '(reference test_ss.py:46-51 gate)',
-        'scale': {'px': 128, 'epochs_gan': 2 * args.epochs_gan,
+        'scale': {'px': args.px, 'ngf': args.ngf,
+                  'epochs_gan': 2 * args.epochs_gan,
                   'epochs_ss': 2 * args.epochs_ss,
-                  'train_images': 8, 'generated_pairs': n_gen,
-                  'test_images': 8},
+                  'train_images': args.train_n, 'generated_pairs': n_gen,
+                  'test_images': args.test_n},
         'ours': ours,
         'torch_reference_semantics': theirs,
         'real_pairs_upper_bound': upper,
@@ -404,7 +447,7 @@ def main():
                 '(supervised_gan_tpu/utils/metrics.py) on both sides; '
                 'higher RandScore/meanIU better, lower CE better',
     }
-    with open(os.path.join(ROOT, 'QUALITY_r03.json'), 'w') as f:
+    with open(os.path.join(ROOT, args.out), 'w') as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
