@@ -20,11 +20,38 @@ def _safe_log(x):
     return jnp.maximum(jnp.log(jnp.maximum(x, 0.0)), -100.0)
 
 
+@jax.custom_vjp
+def _bce_elem(p, t):
+    return -(t * _safe_log(p) + (1.0 - t) * _safe_log(1.0 - p))
+
+
+def _bce_elem_fwd(p, t):
+    return _bce_elem(p, t), (p, t)
+
+
+def _bce_elem_bwd(res, g):
+    # torch BCELoss backward: (p - t) / clamp_min(p*(1-p), eps).  The
+    # naive autodiff of the clamped-forward form is NaN/inf at exactly
+    # saturated predictions (f32 tanh/sigmoid DO reach p = 0/1, e.g. when
+    # a discriminator wins hard) — this was the root cause of the GAN
+    # NaN divergences at 256-512px (round 4): one saturated pixel poisons
+    # the whole state in a single step.  torch bounds the grad at 1/eps;
+    # mirror that.  Grad w.r.t. the target uses the same clamped logs.
+    p, t = res
+    denom = jnp.maximum(p * (1.0 - p), jnp.float32(1e-12))
+    return (g * (p - t) / denom, g * (_safe_log(1.0 - p) - _safe_log(p)))
+
+
+_bce_elem.defvjp(_bce_elem_fwd, _bce_elem_bwd)
+
+
 def bce_loss(pred, target):
-    """Mean binary cross entropy; pred in [0,1]."""
+    """Mean binary cross entropy; pred in [0,1].  Forward matches
+    torch.nn.BCELoss (log clamped at -100); backward matches torch's
+    eps-clamped gradient, bounded even at saturated predictions."""
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
-    return -jnp.mean(t * _safe_log(p) + (1.0 - t) * _safe_log(1.0 - p))
+    return jnp.mean(_bce_elem(p, t))
 
 
 def gan_loss(pred, target_is_real, use_lsgan=True):

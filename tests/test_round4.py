@@ -50,6 +50,30 @@ def test_build_args_geometry():
         assert val(train, '--n_layers_D1') == ('2' if px == 128 else '3')
 
 
+def test_bce_gradient_bounded_at_saturation():
+    """Regression (round 4): f32 tanh/sigmoid DO reach exactly 0/1, and
+    the naive autodiff of the clamped-forward BCE returned NaN there —
+    one saturated pixel NaN'd whole 256px GAN training runs.  The custom
+    VJP must match torch's eps-clamped backward: finite everywhere,
+    analytic (p-t)/(p(1-p)) in the interior."""
+    import jax
+    import jax.numpy as jnp
+    from supervised_gan_tpu.nn.losses import bce_loss
+
+    for p0, t0 in [(0.0, 1.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0),
+                   (3e-8, 1.0), (0.5, 0.3)]:
+        g = jax.grad(lambda p: bce_loss(p, jnp.array(t0)))(jnp.array(p0))
+        assert np.isfinite(float(g)), (p0, t0, float(g))
+    # interior matches the analytic derivative
+    p0, t0 = 0.37, 0.8
+    g = float(jax.grad(lambda p: bce_loss(p, jnp.array(t0)))(jnp.array(p0)))
+    np.testing.assert_allclose(g, (p0 - t0) / (p0 * (1 - p0)), rtol=1e-5)
+    # saturated logits through sigmoid: grad ~ (p - t), never NaN
+    fs = lambda z: bce_loss(jax.nn.sigmoid(z), jnp.array(1.0))
+    for z in (-200.0, -90.0, 0.0, 200.0):
+        assert np.isfinite(float(jax.grad(fs)(jnp.array(z))))
+
+
 FCGAN_ARGS = [
     '--dataroot', '/tmp/unused', '--name', 'auto_t', '--model', 'fcgan',
     '--which_direction', 'A', '--dataset_mode', 'single',

@@ -54,7 +54,7 @@ GEN = os.path.join(WORK, 'gen')
 CKPT = os.path.join(WORK, 'ckpt')
 RESULTS = os.path.join(WORK, 'results')
 
-def build_args(px=128, ngf=8):
+def build_args(px=128, ngf=8, lr=2e-4):
     """DSGAN + segmentation CLI arg lists for a square ``px`` geometry
     (reduced README recipe: fcgan G1 -> px/2 label -> bilinear x2 -> CRN
     G2; unet F2; 1-scale D1/D2).  fcgan upsamples noiseSize*2^(n+1), so
@@ -87,8 +87,8 @@ def build_args(px=128, ngf=8):
         '--lambda_A', '10', '--lambda_B', '10', '--lambda_A_cycle', '5',
         '--lambda_fake_cycle', '1', '--no_lsgan1', '--no_lsgan2',
         '--GAN_losses_D2', 'real_fake', '--GAN_losses_G2', 'real_fake',
-        '--n_update_G', '1', '--pool_size', '16', '--lr1', '0.0002',
-        '--lr2', '0.0002', '--print_freq', '64', '--display_id', '0',
+        '--n_update_G', '1', '--pool_size', '16', '--lr1', repr(lr),
+        '--lr2', repr(lr), '--print_freq', '64', '--display_id', '0',
     ]
     ss_net = [
         '--model', 'segmentation', '--which_direction', 'AtoB',
@@ -172,11 +172,18 @@ def jax_pipeline(epochs_gan, epochs_ss, samples, platform,
                  GAN_NET_ARGS=GAN_NET_ARGS, GAN_TRAIN_ARGS=GAN_TRAIN_ARGS,
                  SS_NET_ARGS=SS_NET_ARGS, SS_TRAIN_ARGS=SS_TRAIN_ARGS):
     name = 'q3_gan'
-    run(['train.py', '--dataroot', REAL, '--name', name,
-         '--checkpoints_dir', CKPT, '--niter', str(epochs_gan),
-         '--niter_decay', str(epochs_gan),
-         '--save_epoch_freq', str(2 * epochs_gan)] + GAN_TRAIN_ARGS,
-        'jax_gan_train', platform)
+    out = run(['train.py', '--dataroot', REAL, '--name', name,
+               '--checkpoints_dir', CKPT, '--niter', str(epochs_gan),
+               '--niter_decay', str(epochs_gan),
+               '--save_epoch_freq', str(2 * epochs_gan)] + GAN_TRAIN_ARGS,
+              'jax_gan_train', platform)
+    # fail fast on adversarial divergence: sampling a NaN'd generator
+    # silently yields all-black pairs and a meaningless downstream number
+    tail_losses = [l for l in out.splitlines() if 'G2_GAN' in l][-3:]
+    if any('nan' in l for l in tail_losses):
+        raise RuntimeError('GAN training diverged to NaN — lower --lr '
+                           '(tail: %s)' % (tail_losses[-1] if tail_losses
+                                           else '?'))
     run(['test.py', '--dataroot', REAL, '--name', name,
          '--checkpoints_dir', CKPT, '--results_dir', RESULTS,
          '--how_many', str(samples), '--save_as_single_image']
@@ -400,6 +407,9 @@ def main():
     ap.add_argument('--train_n', type=int, default=8)
     ap.add_argument('--val_n', type=int, default=4)
     ap.add_argument('--test_n', type=int, default=8)
+    ap.add_argument('--lr', type=float, default=2e-4,
+                    help='GAN lr; 2e-4 matches the reference recipe but '
+                         'can diverge on small synthetic sets at >=256px')
     ap.add_argument('--out', default='QUALITY_r03.json')
     args = ap.parse_args()
     if args.px != 128 and not args.skip_torch:
@@ -409,7 +419,7 @@ def main():
     os.makedirs(WORK, exist_ok=True)
     make_dataset(REAL, px=args.px,
                  counts=(args.train_n, args.val_n, args.test_n))
-    arg_lists = build_args(args.px, args.ngf)
+    arg_lists = build_args(args.px, args.ngf, args.lr)
 
     t0 = time.time()
     ours, upper, n_gen = jax_pipeline(args.epochs_gan, args.epochs_ss,
@@ -432,7 +442,7 @@ def main():
         'pipeline': 'train DSGAN -> test.py sample -> train_ss on generated '
                     'pairs -> test_ss on real held-out set '
                     '(reference test_ss.py:46-51 gate)',
-        'scale': {'px': args.px, 'ngf': args.ngf,
+        'scale': {'px': args.px, 'ngf': args.ngf, 'lr': args.lr,
                   'epochs_gan': 2 * args.epochs_gan,
                   'epochs_ss': 2 * args.epochs_ss,
                   'train_images': args.train_n, 'generated_pairs': n_gen,
