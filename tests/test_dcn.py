@@ -16,6 +16,8 @@ import textwrap
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
 
 import jax
 

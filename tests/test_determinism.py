@@ -4,6 +4,8 @@ for the reference's global-seed contract, SURVEY.md §4)."""
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
 from PIL import Image
 
 import jax

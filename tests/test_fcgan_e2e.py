@@ -11,6 +11,8 @@ import subprocess
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
 from PIL import Image
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

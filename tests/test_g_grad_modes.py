@@ -10,6 +10,10 @@ import numpy as np
 from supervised_gan_tpu.options import TrainOptions
 from supervised_gan_tpu.models import create_model
 
+import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
+
 
 def _run_steps(tmp_path, mode, n=3):
     os.environ['SGAN_TPU_G_GRAD'] = mode

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
 
 from supervised_gan_tpu import nn
 

@@ -4,11 +4,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from supervised_gan_tpu.models.pools import (init_pool, pool_query,
                                              pool_sample, pool_fill)
 
 
+@pytest.mark.slow  # ~2 min of tiny-jit dispatches
 def test_pool_fills_then_swaps():
     pool = init_pool(4, (2, 2, 1))
     key = jax.random.PRNGKey(0)

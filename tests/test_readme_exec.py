@@ -13,6 +13,8 @@ import sys
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
 
 import train as train_entry
 import test as test_entry

@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
 from PIL import Image
 
 from supervised_gan_tpu.options import TrainOptions

@@ -3,6 +3,8 @@
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
 from PIL import Image
 
 import jax

@@ -7,6 +7,8 @@ noise amplified by the adversarial updates — tolerances reflect that."""
 import jax
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e/compile tier; deselect with -m 'not slow'
+
 
 from supervised_gan_tpu.models import create_model
 from supervised_gan_tpu.options import TrainOptions
