@@ -1,6 +1,10 @@
 """Attribute DSGAN step time: G forward / D1 grad / D2 grad / G grad / pools,
 at the real 512px shapes, each phase in its own jit with scan loops."""
-import time, numpy as np, jax, jax.numpy as jnp
+import os, sys, time
+import numpy as np, jax, jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 from supervised_gan_tpu.options import TrainOptions
 from supervised_gan_tpu.models import create_model
 from bench import DSGAN_ARGS
