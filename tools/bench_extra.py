@@ -68,7 +68,14 @@ CGAN_ARGS = [
     '--compute_dtype', 'bfloat16',
 ]
 
-CONFIGS = {'fcgan_unsup_512': FCGAN_ARGS, 'cgan_pix2pix_512': CGAN_ARGS}
+# reference README.md "Train a JointGAN model": identical to the
+# UnsupervisedGAN command except --which_channel rg_b (G models the
+# joint (label, image) distribution -> 3-channel pipeline)
+JOINTGAN_ARGS = [a if a != 'b' else 'rg_b' for a in FCGAN_ARGS]
+JOINTGAN_ARGS[JOINTGAN_ARGS.index('bench_fcgan_unsup')] = 'bench_jointgan'
+
+CONFIGS = {'fcgan_unsup_512': FCGAN_ARGS, 'cgan_pix2pix_512': CGAN_ARGS,
+           'fcgan_joint_512': JOINTGAN_ARGS}
 
 
 def measure(config):
