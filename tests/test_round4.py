@@ -39,6 +39,8 @@ def test_build_args_geometry():
     def val(lst, flag):
         return lst[lst.index(flag) + 1]
 
+    from supervised_gan_tpu.options import TrainOptions, TestOptions
+
     for px in (128, 256, 512):
         net, train, ss_net, ss_train = build_args(px, 16)
         n_g1 = int(val(net, '--n_layers_G1'))
@@ -48,6 +50,13 @@ def test_build_args_geometry():
         assert val(net, '--ngf1') == val(net, '--ngf2') == '16'
         # D depth scales with resolution
         assert val(train, '--n_layers_D1') == ('2' if px == 128 else '3')
+        # every arg list must parse through the real option surface
+        base = ['--dataroot', '/tmp/x', '--name', 'qa%d' % px,
+                '--checkpoints_dir', '/tmp/qa_ckpt', '--display_id', '0']
+        assert TrainOptions().parse(base + train).fineSize == px
+        assert TestOptions().parse(base + net).fineSize == px
+        assert TrainOptions().parse(base + ss_train).fineSize == px
+        assert TestOptions().parse(base + ss_net).fineSize == px
 
 
 def test_bce_gradient_bounded_at_saturation():
