@@ -71,5 +71,10 @@ class TrainOptions(BaseOptions):
                             'device dispatch (TPU; bit-identical to '
                             'per-step training, display/print/save cadence '
                             'is respected by flushing at boundaries)')
+        p.add_argument('--abort_on_nan', action='store_true',
+                       help='stop training when printed metrics go '
+                            'non-finite instead of burning the remaining '
+                            'epochs on a poisoned state (off by default: '
+                            'the reference trains through NaN)')
 
         self.isTrain = True

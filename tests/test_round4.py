@@ -110,6 +110,38 @@ def _run3(tmp_path, name):
     return model.get_current_errors()
 
 
+def test_abort_on_nan_stops_training(tmp_path, monkeypatch):
+    """--abort_on_nan must SystemExit at the first non-finite printed
+    metric instead of training through a poisoned state."""
+    import sys
+
+    from PIL import Image
+    import train as train_entry
+
+    d = tmp_path / 'data' / 'train'
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(str(d / ('%03d.png' % i)))
+
+    real_create = train_entry.create_model
+
+    def poisoned_create(opt):
+        model = real_create(opt)
+        model.get_current_errors = lambda: {'G_GAN': float('nan')}
+        return model
+
+    monkeypatch.setattr(train_entry, 'create_model', poisoned_create)
+    monkeypatch.setattr(sys, 'argv', ['train.py'] + FCGAN_ARGS + [
+        '--dataroot', str(tmp_path / 'data'), '--name', 'nan_t',
+        '--checkpoints_dir', str(tmp_path / 'ck'), '--loadSize', '32',
+        '--fineSize', '32', '--niter', '1', '--niter_decay', '0',
+        '--print_freq', '1', '--nThreads', '1', '--abort_on_nan'])
+    with pytest.raises(SystemExit, match='abort_on_nan'):
+        train_entry.main()
+
+
 @pytest.mark.slow
 def test_auto_layout_training_matches(tmp_path, monkeypatch):
     """SGAN_TPU_AUTO_LAYOUT=1 (AUTO layouts on the donated packed state)

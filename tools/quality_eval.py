@@ -89,6 +89,7 @@ def build_args(px=128, ngf=8, lr=2e-4):
         '--GAN_losses_D2', 'real_fake', '--GAN_losses_G2', 'real_fake',
         '--n_update_G', '1', '--pool_size', '16', '--lr1', repr(lr),
         '--lr2', repr(lr), '--print_freq', '64', '--display_id', '0',
+        '--abort_on_nan',
     ]
     ss_net = [
         '--model', 'segmentation', '--which_direction', 'AtoB',

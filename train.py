@@ -86,6 +86,17 @@ def main():
                 if opt.display_id > 0:
                     visualizer.plot_current_errors(
                         epoch, float(epoch_iter) / dataset_size, opt, errors)
+                if opt.abort_on_nan and not all(
+                        np.isfinite(v) for v in errors.values()):
+                    # opt-in (reference semantics: train through NaN).
+                    # By the time a metric is non-finite the state is
+                    # already poisoned — stop burning epochs; the last
+                    # periodic checkpoint is the recovery point.
+                    raise SystemExit(
+                        'abort_on_nan: non-finite metrics at epoch %d '
+                        'step %d: %s — last saved checkpoint is the '
+                        'recovery point' % (epoch, total_steps,
+                                            dict(errors)))
 
             if total_steps % opt.save_latest_freq == 0:
                 print('saving the latest model (epoch %d, total_steps %d)'
