@@ -110,6 +110,31 @@ def _run3(tmp_path, name):
     return model.get_current_errors()
 
 
+def test_bce_gradient_matches_torch_bceloss():
+    """Direct oracle: our custom VJP must reproduce torch.nn.BCELoss's
+    backward (the reference's loss, models/networks.py GANLoss) on
+    random AND exactly-saturated predictions."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from supervised_gan_tpu.nn.losses import bce_loss
+
+    rng = np.random.RandomState(0)
+    p = np.concatenate([rng.rand(64).astype(np.float32),
+                        np.array([0.0, 1.0, 3e-8, 1 - 3e-8], np.float32)])
+    t = np.concatenate([(rng.rand(64) > 0.5).astype(np.float32),
+                        np.array([1.0, 0.0, 1.0, 0.0], np.float32)])
+    tp = torch.tensor(p, requires_grad=True)
+    loss = torch.nn.BCELoss()(tp, torch.tensor(t))
+    loss.backward()
+    ours = np.asarray(jax.grad(
+        lambda q: bce_loss(q, jnp.array(t)))(jnp.array(p)))
+    np.testing.assert_allclose(
+        float(bce_loss(jnp.array(p), jnp.array(t))), float(loss.detach()),
+        rtol=1e-6)
+    np.testing.assert_allclose(ours, tp.grad.numpy(), rtol=1e-5, atol=1e-8)
+
+
 def test_abort_on_nan_stops_training(tmp_path, monkeypatch):
     """--abort_on_nan must SystemExit at the first non-finite printed
     metric instead of training through a poisoned state."""
