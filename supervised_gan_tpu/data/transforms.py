@@ -78,11 +78,23 @@ def random_rot90(arr, rng):
     return arr
 
 
-def build_transform(opt, train):
-    """Returns f(PIL_image, rng) -> HWC float32 in [-1,1]."""
+def build_transform_parts(opt, train):
+    """The pipeline split at its deterministic/random boundary:
+
+      prefix(PIL_image) -> HWC uint8   (decode-side: resize only — the
+                                        expensive, path-deterministic part,
+                                        cacheable across epochs)
+      finish(uint8, rng) -> HWC f32    (crop/flip/rot views + [-1,1]
+                                        normalize of just the crop)
+
+    Cropping the uint8 array BEFORE float conversion is bit-identical to
+    converting first (normalize is per-pixel) and matches the reference's
+    own op order (torchvision RandomCrop on the PIL image, then
+    ToTensor+Normalize) while converting fineSize^2 instead of
+    loadSize^2 pixels."""
     mode = opt.resize_or_crop
 
-    def transform(img, rng):
+    def prefix(img):
         if mode == 'resize_and_crop':
             img = resize_bilinear(img, opt.loadSize)
         elif mode == 'scale_width':
@@ -93,14 +105,30 @@ def build_transform(opt, train):
             pass
         else:
             raise NotImplementedError('resize_or_crop [%s]' % mode)
-        arr = to_array(img)
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return arr
+
+    def finish(arr, rng):
         if mode in ('resize_and_crop', 'crop', 'scale_width_and_crop'):
             arr = random_crop(arr, opt.fineSize, rng)
         if train and not opt.no_flip:
             arr = random_hflip(arr, rng)
         if train and not opt.no_rotate:
             arr = random_rot90(arr, rng)
-        return np.ascontiguousarray(arr)
+        return np.ascontiguousarray(
+            arr.astype(np.float32) / 255.0 * 2.0 - 1.0)
+
+    return prefix, finish
+
+
+def build_transform(opt, train):
+    """Returns f(PIL_image, rng) -> HWC float32 in [-1,1]."""
+    prefix, finish = build_transform_parts(opt, train)
+
+    def transform(img, rng):
+        return finish(prefix(img), rng)
 
     return transform
 

@@ -142,6 +142,10 @@ class BaseOptions:
                        help='if >1, spatially partition the image height over this many devices (batch-1 latency scaling; composes with --data_mesh into a 2-D mesh)')
         p.add_argument('--no_pallas', action='store_true', help='disable Pallas kernels (pure XLA path)')
         p.add_argument('--no_native_io', action='store_true', help='disable the C++ image decode path')
+        p.add_argument('--cache_data', action='store_true',
+                       help='cache decoded+resized images in RAM across epochs '
+                            '(bit-identical augmentation; for recipe-scale datasets — '
+                            'capped at 2 GiB, streams past the cap)')
         p.add_argument('--dcn_coordinator', type=str, default='',
                        help='multi-host: coordinator address host:port for jax.distributed')
         p.add_argument('--dcn_num_processes', type=int, default=0,

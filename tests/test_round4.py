@@ -110,6 +110,48 @@ def _run3(tmp_path, name):
     return model.get_current_errors()
 
 
+def test_cache_data_bit_identical(tmp_path):
+    """--cache_data (RAM cache of the decode+resize prefix) must produce
+    bit-identical batches to the streaming path, for single and aligned
+    datasets — augmentation randomness stays per-sample."""
+    from PIL import Image
+    from supervised_gan_tpu.data import CreateDataLoader
+    from supervised_gan_tpu.options import TrainOptions
+
+    rng = np.random.RandomState(0)
+    for sub in ('train',):
+        d = tmp_path / 'data' / sub
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(rng.randint(0, 255, (64, 96, 3), dtype=np.uint8)
+                            ).save(str(d / ('%03d.png' % i)))
+
+    def batches(mode, extra):
+        args = ['--dataroot', str(tmp_path / 'data'), '--name', 'cd_t',
+                '--model', 'fcgan', '--which_direction', 'A',
+                '--dataset_mode', mode, '--loadSize', '48',
+                '--fineSize', '32', '--batchSize', '1', '--nThreads', '1',
+                '--which_channel', 'rg_b', '--manualSeed', '3',
+                '--display_id', '0',
+                '--checkpoints_dir', str(tmp_path / 'ck')] + extra
+        loader = CreateDataLoader(TrainOptions().parse(args))
+        out = []
+        for _ in range(2):                       # two epochs: hits cache
+            for item in loader.load_data():
+                out.append({k: np.asarray(v) for k, v in item.items()
+                            if not k.endswith('paths')})
+        return out
+
+    for mode in ('single', 'aligned'):
+        ref = batches(mode, [])
+        cached = batches(mode, ['--cache_data'])
+        assert len(ref) == len(cached) == 8
+        for r, c in zip(ref, cached):
+            assert set(r) == set(c)
+            for k in r:
+                np.testing.assert_array_equal(r[k], c[k])
+
+
 def test_bce_gradient_matches_torch_bceloss():
     """Direct oracle: our custom VJP must reproduce torch.nn.BCELoss's
     backward (the reference's loss, models/networks.py GANLoss) on
