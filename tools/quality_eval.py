@@ -89,7 +89,7 @@ def build_args(px=128, ngf=8, lr=2e-4):
         '--GAN_losses_D2', 'real_fake', '--GAN_losses_G2', 'real_fake',
         '--n_update_G', '1', '--pool_size', '16', '--lr1', repr(lr),
         '--lr2', repr(lr), '--print_freq', '64', '--display_id', '0',
-        '--abort_on_nan',
+        '--abort_on_nan', '--cache_data',
     ]
     ss_net = [
         '--model', 'segmentation', '--which_direction', 'AtoB',
@@ -102,7 +102,8 @@ def build_args(px=128, ngf=8, lr=2e-4):
         '--which_model_netD', 'None', '--manualSeed', '0',
         '--display_id', '0',
     ]
-    ss_train = ss_net + ['--lambda_A', '1', '--print_freq', '64']
+    ss_train = ss_net + ['--lambda_A', '1', '--print_freq', '64',
+                         '--cache_data']
     return gan_net, gan_train, ss_net, ss_train
 
 
