@@ -52,11 +52,13 @@ DSGAN_ARGS = [
     '--noise_nc2', '8', '--noiseSize2', '8', '--norm', 'instance',
     '--no_dropout1', '--n_update_G', '1', '--no_lsgan1', '--no_lsgan2',
     '--GAN_losses_D2', 'real_fake', '--GAN_losses_G2', 'real_fake',
-    # lr 2e-5: a pure-throughput choice — the lr is a traced scalar, so the
-    # program is identical to lr 2e-4 training; at 2e-4 the adversarial
-    # losses diverge to NaN after ~140 iterations on the single repeated
-    # synthetic batch, and the bench asserts finite metrics ('finite').
-    '--manualSeed', '0', '--lr1', '0.00002', '--lr2', '0.00002',
+    # lr 2e-4: the README recipe's exact learning rate.  (Rounds 1-3 ran
+    # lr 2e-5 because the adversarial losses NaN'd after ~140 iterations
+    # on the single repeated synthetic batch — that was the BCE
+    # saturation-gradient bug, fixed round 4 in nn/losses.py; a 400-step
+    # soak at 2e-4 now stays finite.  The lr is a traced scalar either
+    # way, so the compiled program and throughput are identical.)
+    '--manualSeed', '0', '--lr1', '0.0002', '--lr2', '0.0002',
     '--checkpoints_dir', '/tmp/bench_ckpt', '--display_id', '0',
     '--compute_dtype', 'bfloat16',
 ]
