@@ -23,23 +23,27 @@ class _DecodeCache:
     cached and uncached pipelines are bit-identical."""
 
     def __init__(self):
+        import threading
         self.store = {}
         self.bytes = 0
         self.full = False
+        self._lock = threading.Lock()   # loader uses a thread pool
 
     def get(self, path, compute):
-        arr = self.store.get(path)
+        with self._lock:
+            arr = self.store.get(path)
         if arr is None:
-            arr = compute()
-            if not self.full:
-                if self.bytes + arr.nbytes > _CACHE_CAP_BYTES:
-                    self.full = True
-                    print('cache_data: cap (%d MiB) reached, further '
-                          'images stream from disk'
-                          % (_CACHE_CAP_BYTES >> 20))
-                else:
-                    self.store[path] = arr
-                    self.bytes += arr.nbytes
+            arr = compute()             # decode outside the lock
+            with self._lock:
+                if not self.full and path not in self.store:
+                    if self.bytes + arr.nbytes > _CACHE_CAP_BYTES:
+                        self.full = True
+                        print('cache_data: cap (%d MiB) reached, further '
+                              'images stream from disk'
+                              % (_CACHE_CAP_BYTES >> 20))
+                    else:
+                        self.store[path] = arr
+                        self.bytes += arr.nbytes
         return arr
 
 

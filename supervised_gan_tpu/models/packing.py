@@ -186,10 +186,16 @@ class StatePacker:
             # their consumers instead of paying per-step relayout copies.
             # Donation keeps state in the chosen layout across steps; the
             # first call pays a one-time host->chosen-layout copy.
-            from jax.experimental.layout import Format, Layout
-            auto = Format(Layout.AUTO)
-            jit_kwargs = {'in_shardings': (auto, None, None, None),
-                          'out_shardings': (auto, None, None)}
+            try:
+                # version-unstable experimental API; the probe also assumes
+                # the unmeshed packed path's 4-arg/3-output signature
+                from jax.experimental.layout import Format, Layout
+                auto = Format(Layout.AUTO)
+                jit_kwargs = {'in_shardings': (auto, None, None, None),
+                              'out_shardings': (auto, None, None)}
+            except Exception as e:     # pragma: no cover - jax-version drift
+                print('SGAN_TPU_AUTO_LAYOUT unavailable (%s); running '
+                      'with default layouts' % e)
         pjit_step = jax.jit(packed_step, donate_argnums=(0,),
                             compiler_options=compiler_options_from_env(),
                             **jit_kwargs)

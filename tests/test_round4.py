@@ -19,12 +19,23 @@ from supervised_gan_tpu.options import TrainOptions
 def test_cache_dir_defaults_inside_repo(monkeypatch):
     """/tmp and ~/.cache get wiped between sessions; the default cache
     dir must live under the repo tree (runtime/cache.py)."""
+    import jax
     from supervised_gan_tpu.runtime import enable_compilation_cache
     monkeypatch.delenv('SGAN_TPU_XLA_CACHE', raising=False)
     monkeypatch.delenv('SGAN_TPU_PLATFORM', raising=False)
-    path = enable_compilation_cache()
-    assert path == os.path.join(ROOT, '.xla_cache')
-    assert os.path.isdir(path)
+    # snapshot the jax config the helper mutates so this test can't leak
+    # cache settings into later tests in the same process
+    keys = ('jax_compilation_cache_dir',
+            'jax_persistent_cache_min_compile_time_secs',
+            'jax_persistent_cache_min_entry_size_bytes')
+    saved = {k: getattr(jax.config, k) for k in keys}
+    try:
+        path = enable_compilation_cache()
+        assert path == os.path.join(ROOT, '.xla_cache')
+        assert os.path.isdir(path)
+    finally:
+        for k, v in saved.items():
+            jax.config.update(k, v)
 
 
 def test_build_args_geometry():

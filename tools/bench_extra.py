@@ -70,8 +70,10 @@ CGAN_ARGS = [
 
 # reference README.md "Train a JointGAN model": identical to the
 # UnsupervisedGAN command except --which_channel rg_b (G models the
-# joint (label, image) distribution -> 3-channel pipeline)
-JOINTGAN_ARGS = [a if a != 'b' else 'rg_b' for a in FCGAN_ARGS]
+# joint (label, image) distribution -> 3-channel pipeline).  Replace
+# positionally so another bare 'b' value can never be rewritten.
+JOINTGAN_ARGS = list(FCGAN_ARGS)
+JOINTGAN_ARGS[JOINTGAN_ARGS.index('--which_channel') + 1] = 'rg_b'
 JOINTGAN_ARGS[JOINTGAN_ARGS.index('bench_fcgan_unsup')] = 'bench_jointgan'
 
 CONFIGS = {'fcgan_unsup_512': FCGAN_ARGS, 'cgan_pix2pix_512': CGAN_ARGS,

@@ -138,6 +138,112 @@ def make_dataset(root, seed=0, px=128, counts=(8, 4, 8)):
                 os.path.join(d, '%03d.png' % i))
 
 
+def _hard_sample(rng, px):
+    """One (px,px,3) hard VNC-style sample in [0,1].  R = foreground
+    (thin cell membranes + mitochondria), G = background, B = EM-like
+    image with per-cell albedo, band-limited texture, sensor noise,
+    deliberately faint mitochondria and unlabeled dark distractor
+    specks — built so the real-pairs segmentation bound lands well
+    below 1.0 (round-5 gate-sensitivity requirement)."""
+    import scipy.ndimage as ndi
+    s = px / 256.0
+    yy, xx = np.mgrid[0:px, 0:px].astype(np.float32)
+
+    # Voronoi cells: nearest/second-nearest center distances
+    ncell = max(8, int(round(px * px / (48.0 * 48.0 * s * s))))
+    cy = rng.uniform(0, px, ncell).astype(np.float32)
+    cx = rng.uniform(0, px, ncell).astype(np.float32)
+    best = np.full((px, px), np.inf, np.float32)
+    second = np.full((px, px), np.inf, np.float32)
+    idx = np.zeros((px, px), np.int32)
+    for k in range(ncell):
+        dd = (yy - cy[k]) ** 2 + (xx - cx[k]) ** 2
+        closer = dd < best
+        second = np.where(closer, best, np.minimum(second, dd))
+        idx = np.where(closer, k, idx)
+        best = np.where(closer, dd, best)
+
+    # thin membranes at cell boundaries (1-3 px at 256, scale-invariant)
+    width = (0.6 + 0.6 * rng.rand()) * s
+    memb = (np.sqrt(second) - np.sqrt(best)) < 2.0 * width
+
+    # mitochondria: filled ellipses; ~25% deliberately faint
+    mito = np.zeros((px, px), bool)
+    depth = np.zeros((px, px), np.float32)
+    # counts are scale-invariant: feature SIZES already scale with s, so
+    # a fixed count keeps area fractions constant across px
+    for _ in range(rng.randint(8, 17)):
+        my = rng.uniform(8 * s, px - 8 * s)
+        mx = rng.uniform(8 * s, px - 8 * s)
+        a, b = rng.uniform(3 * s, 9 * s, 2)
+        th = rng.uniform(0, np.pi)
+        Y, X = yy - my, xx - mx
+        u = (np.cos(th) * X + np.sin(th) * Y) / a
+        v = (-np.sin(th) * X + np.cos(th) * Y) / b
+        m = u * u + v * v < 1
+        mito |= m
+        d = (0.15 + 0.40 * rng.rand()) if rng.rand() < 0.25 \
+            else (0.55 + 0.25 * rng.rand())
+        depth = np.maximum(depth, m * np.float32(d))
+
+    fg = memb | mito
+
+    # EM-like image
+    albedo = (0.55 + 0.25 * rng.rand(ncell)).astype(np.float32)
+    img = albedo[idx]
+    t = max(4, int(16 * s))
+    low = rng.rand(px // t + 2, px // t + 2).astype(np.float32)
+    img = img + 0.12 * (np.kron(low, np.ones((t, t),
+                                             np.float32))[:px, :px] - 0.5)
+    img = img * (1.0 - 0.55 * memb)
+    img = img * (1.0 - depth)
+    # unlabeled dark specks — distractors that resemble small mito
+    for _ in range(24):
+        sy = rng.randint(2, px - 2)
+        sx = rng.randint(2, px - 2)
+        r0 = max(1, int(round(rng.uniform(1, 2) * s)))
+        img[max(0, sy - r0):sy + r0, max(0, sx - r0):sx + r0] *= 0.55
+    img = ndi.gaussian_filter(img, 0.5 * s)
+    img = img + 0.10 * rng.randn(px, px).astype(np.float32)
+
+    r = fg.astype(np.float32)
+    return np.stack([r, 1.0 - r, np.clip(img, 0, 1)], -1)
+
+
+def make_dataset_hard(root, seed=0, px=256, counts=(20, 4, 8)):
+    """Hard VNC-style synthetic dataset (see _hard_sample).  Same channel
+    packing as make_dataset: R,G binary 2-class labels, B image."""
+    rng = np.random.RandomState(seed)
+    from PIL import Image
+    for phase, n in zip(('train', 'val', 'test'), counts):
+        d = os.path.join(root, phase)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            arr = _hard_sample(rng, px)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                os.path.join(d, '%03d.png' % i))
+
+
+def make_label_shuffled(src_train, dst_train, seed=0):
+    """Negative control: derange the image (B) channel across the
+    generated pairs so every label is paired with a WRONG image.  A
+    sensitive downstream gate must score this far below the GAN row."""
+    from PIL import Image
+    paths = sorted(glob.glob(os.path.join(src_train, '*.png')))
+    assert len(paths) >= 2, 'need >=2 generated pairs to shuffle'
+    arrs = [np.asarray(Image.open(p).convert('RGB')) for p in paths]
+    n = len(arrs)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    while np.any(perm == np.arange(n)):
+        perm = rng.permutation(n)
+    os.makedirs(dst_train, exist_ok=True)
+    for i, p in enumerate(paths):
+        a = arrs[i].copy()
+        a[..., 2] = arrs[perm[i]][..., 2]
+        Image.fromarray(a).save(os.path.join(dst_train, os.path.basename(p)))
+
+
 def run(args, tag, platform):
     env = dict(os.environ)
     if platform != 'tpu':
@@ -172,7 +278,8 @@ def parse_ss_metrics(out):
 
 def jax_pipeline(epochs_gan, epochs_ss, samples, platform,
                  GAN_NET_ARGS=GAN_NET_ARGS, GAN_TRAIN_ARGS=GAN_TRAIN_ARGS,
-                 SS_NET_ARGS=SS_NET_ARGS, SS_TRAIN_ARGS=SS_TRAIN_ARGS):
+                 SS_NET_ARGS=SS_NET_ARGS, SS_TRAIN_ARGS=SS_TRAIN_ARGS,
+                 negative_control=False):
     name = 'q3_gan'
     out = run(['train.py', '--dataroot', REAL, '--name', name,
                '--checkpoints_dir', CKPT, '--niter', str(epochs_gan),
@@ -182,8 +289,8 @@ def jax_pipeline(epochs_gan, epochs_ss, samples, platform,
     # fail fast on adversarial divergence: sampling a NaN'd generator
     # silently yields all-black pairs and a meaningless downstream number
     tail_losses = [l for l in out.splitlines() if 'G2_GAN' in l][-3:]
-    if any('nan' in l for l in tail_losses):
-        raise RuntimeError('GAN training diverged to NaN — lower --lr '
+    if any('nan' in l or 'inf' in l for l in tail_losses):
+        raise RuntimeError('GAN training diverged — lower --lr '
                            '(tail: %s)' % (tail_losses[-1] if tail_losses
                                            else '?'))
     run(['test.py', '--dataroot', REAL, '--name', name,
@@ -226,7 +333,29 @@ def jax_pipeline(epochs_gan, epochs_ss, samples, platform,
                   '--how_many', '999', '--which_epoch', 'latest',
                   '--phase', 'test'] + SS_NET_ARGS,
                  'jax_ss_ub_test', platform)
-    return parse_ss_metrics(out), parse_ss_metrics(out_ub), len(imgs)
+
+    # negative control: same protocol on label-shuffled generated pairs —
+    # a sensitive gate must rank real-bound >= GAN >> shuffled
+    neg = None
+    if negative_control:
+        gen_neg = GEN + '_neg'
+        make_label_shuffled(os.path.join(GEN, 'train'),
+                            os.path.join(gen_neg, 'train'))
+        shutil.copytree(os.path.join(REAL, 'val'),
+                        os.path.join(gen_neg, 'val'), dirs_exist_ok=True)
+        sn = 'q5_ss_neg'
+        run(['train_ss.py', '--dataroot', gen_neg, '--name', sn,
+             '--checkpoints_dir', CKPT, '--niter', str(epochs_ss),
+             '--niter_decay', str(epochs_ss),
+             '--save_epoch_freq', str(2 * epochs_ss)] + SS_TRAIN_ARGS,
+            'jax_ss_neg_train', platform)
+        out_neg = run(['test_ss.py', '--dataroot', REAL, '--name', sn,
+                       '--checkpoints_dir', CKPT, '--results_dir', RESULTS,
+                       '--how_many', '999', '--which_epoch', 'latest',
+                       '--phase', 'test'] + SS_NET_ARGS,
+                      'jax_ss_neg_test', platform)
+        neg = parse_ss_metrics(out_neg)
+    return parse_ss_metrics(out), parse_ss_metrics(out_ub), len(imgs), neg
 
 
 # ------------------------------------------------------------------ torch --
@@ -413,23 +542,30 @@ def main():
                     help='GAN lr; 2e-4 matches the reference recipe but '
                          'can diverge on small synthetic sets at >=256px')
     ap.add_argument('--out', default='QUALITY_r03.json')
+    ap.add_argument('--dataset', choices=('easy', 'hard'), default='easy',
+                    help='hard: thin membranes + faint mito + noise so the '
+                         'real-pairs bound lands well below 1.0')
+    ap.add_argument('--negative_control', action='store_true',
+                    help='add a label-shuffled-pairs row (gate sensitivity)')
     args = ap.parse_args()
     if args.px != 128 and not args.skip_torch:
         ap.error('the torch mirror is 128px-only; pass --skip_torch')
 
     shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK, exist_ok=True)
-    make_dataset(REAL, px=args.px,
-                 counts=(args.train_n, args.val_n, args.test_n))
+    maker = make_dataset_hard if args.dataset == 'hard' else make_dataset
+    maker(REAL, px=args.px, counts=(args.train_n, args.val_n, args.test_n))
     arg_lists = build_args(args.px, args.ngf, args.lr)
 
     t0 = time.time()
-    ours, upper, n_gen = jax_pipeline(args.epochs_gan, args.epochs_ss,
-                                      args.samples, args.platform,
-                                      *arg_lists)
+    ours, upper, n_gen, neg = jax_pipeline(
+        args.epochs_gan, args.epochs_ss, args.samples, args.platform,
+        *arg_lists, negative_control=args.negative_control)
     t_ours = time.time() - t0
     print('ours:', ours, flush=True)
     print('upper bound (real pairs):', upper, flush=True)
+    if neg is not None:
+        print('negative control (label-shuffled pairs):', neg, flush=True)
 
     theirs = None
     t_torch = None
@@ -448,10 +584,11 @@ def main():
                   'epochs_gan': 2 * args.epochs_gan,
                   'epochs_ss': 2 * args.epochs_ss,
                   'train_images': args.train_n, 'generated_pairs': n_gen,
-                  'test_images': args.test_n},
+                  'test_images': args.test_n, 'dataset': args.dataset},
         'ours': ours,
         'torch_reference_semantics': theirs,
         'real_pairs_upper_bound': upper,
+        'negative_control_label_shuffled': neg,
         'ours_platform': args.platform,
         'ours_wall_sec': round(t_ours, 1),
         'torch_wall_sec': round(t_torch, 1) if t_torch else None,
