@@ -89,8 +89,15 @@ def to_torch_state_dict(layer, params):
     return out
 
 
-def from_torch_state_dict(layer, state_dict):
-    """flat torch state_dict -> params tree (unknown/frozen keys skipped)."""
+def from_torch_state_dict(layer, state_dict, strict=True):
+    """flat torch state_dict -> params tree (frozen/running keys skipped).
+
+    strict mirrors torch load_state_dict (reference base_model.py:55-61
+    loads are strict): a checkpoint whose architecture does not match the
+    constructed net (wrong depth/width) must fail HERE with a named error,
+    not surface later as a shape error inside the jitted step.  Found by
+    the round-5 full-recipe drive: a sequential-train handoff from a
+    mismatched stage-1 net silently loaded and crashed in CRN's stem."""
     kinds = param_kind_tree(layer)
     params = {}
     skipped = []
@@ -110,7 +117,29 @@ def from_torch_state_dict(layer, state_dict):
             val.numpy() if hasattr(val, "numpy") else val, kind)
     if skipped:
         print("pth import: skipped unknown keys: %s" % skipped)
+    if strict:
+        _validate_against_layer(layer, params, skipped)
     return params
+
+
+def _validate_against_layer(layer, params, skipped):
+    """Raise if the imported tree is missing expected params or any leaf
+    shape disagrees with the constructed net (abstract init, no compute)."""
+    try:
+        expected = jax.eval_shape(layer.init, jax.random.PRNGKey(0))
+    except Exception:
+        return      # init not traceable — skip validation, keep behavior
+    exp = {k: tuple(v.shape) for k, v in _flatten(expected).items()
+           if hasattr(v, "shape")}
+    got = {k: tuple(np.shape(v)) for k, v in _flatten(params).items()}
+    missing = sorted(set(exp) - set(got))
+    bad = sorted((k, got[k], exp[k]) for k in got
+                 if k in exp and got[k] != exp[k])
+    if missing or bad:
+        raise ValueError(
+            "pth import: checkpoint does not match the constructed net "
+            "(wrong architecture flags?): missing=%s shape_mismatches=%s "
+            "unknown_keys=%s" % (missing[:8], bad[:8], skipped[:8]))
 
 
 def save_pth(path, layer, params):

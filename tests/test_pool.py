@@ -50,6 +50,48 @@ def test_pool_batch_sequential_semantics():
     assert float(out[0, 0, 0, 0]) == 1.0
 
 
+def test_pool_batch_matches_reference_loop():
+    """batch>1 pins the reference's PER-IMAGE loop semantics
+    (util/image_pool.py:13-33): images are processed in order, the fill
+    counter advances within the batch, and each image draws its own
+    accept/slot randomness.  The host mirror below replays the reference
+    control flow with the same key discipline — outputs and final pool
+    state must match exactly (round-5 verdict item 7)."""
+    def host_loop(images, num, batch, key, reject=0.5):
+        size = images.shape[0]
+        keys = jax.random.split(key, batch.shape[0])
+        outs = []
+        for x, k in zip(np.asarray(batch), keys):
+            k1, k2 = jax.random.split(k)
+            if num < size:                 # fill: store, pass through
+                images[num] = x
+                outs.append(x)
+                num += 1
+            elif float(jax.random.uniform(k1)) > reject:   # swap: evict
+                slot = int(jax.random.randint(k2, (), 0, size))
+                old = images[slot].copy()
+                images[slot] = x
+                outs.append(old)
+            else:                          # reject: pass through
+                outs.append(x)
+        return np.stack(outs), images, num
+
+    pool = init_pool(6, (2, 2, 1))
+    h_images = np.zeros((6, 2, 2, 1), np.float32)
+    h_num = 0
+    key = jax.random.PRNGKey(7)
+    for step in range(8):                  # batch 4 x 8 crosses fill->full
+        batch = jnp.arange(4, dtype=jnp.float32).reshape(4, 1, 1, 1) \
+            + 10.0 * step
+        batch = jnp.broadcast_to(batch, (4, 2, 2, 1))
+        k = jax.random.fold_in(key, step)
+        out, pool = pool_query(pool, batch, k)
+        h_out, h_images, h_num = host_loop(h_images, h_num, batch, k)
+        np.testing.assert_array_equal(np.asarray(out), h_out)
+    np.testing.assert_array_equal(np.asarray(pool['images']), h_images)
+    assert int(pool['num']) == h_num
+
+
 def test_pool_sample_and_fill():
     pool = init_pool(8, (1, 1, 1))
     batch = jnp.arange(8, dtype=jnp.float32).reshape(8, 1, 1, 1)

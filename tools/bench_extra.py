@@ -80,7 +80,17 @@ CONFIGS = {'fcgan_unsup_512': FCGAN_ARGS, 'cgan_pix2pix_512': CGAN_ARGS,
            'fcgan_joint_512': JOINTGAN_ARGS}
 
 
-def measure(config):
+def _dsgan_args():
+    # the bench.py flagship config (README.md:18 geometry), importable so
+    # --batch sweeps can cover DSGAN too (round-5 verdict item 7)
+    from bench import DSGAN_ARGS
+    return list(DSGAN_ARGS)
+
+
+CONFIGS['dsgan_512'] = _dsgan_args
+
+
+def measure(config, batch_size=None):
     """Child: run one config on the attached chip, print one JSON line."""
     import jax
     import numpy as np
@@ -90,7 +100,11 @@ def measure(config):
     from bench import _module_lane
 
     enable_compilation_cache()
-    opt = TrainOptions().parse(CONFIGS[config])
+    argv = CONFIGS[config]
+    argv = argv() if callable(argv) else list(argv)
+    if batch_size:
+        argv[argv.index('--batchSize') + 1] = str(batch_size)
+    opt = TrainOptions().parse(argv)
     model = create_model(opt)
     rng = np.random.RandomState(0)
     batch = {'A': rng.uniform(-1, 1, (opt.batchSize, opt.fineSize,
@@ -130,6 +144,7 @@ def measure(config):
     wall_ms = 1e3 * opt.batchSize / img_per_sec
     rec = {
         'config': config,
+        'batchSize': opt.batchSize,
         'value': round(img_per_sec, 3),
         'unit': 'images/sec',
         'finite': bool(np.all(np.isfinite(list(errors.values())))),
@@ -155,12 +170,14 @@ def main():
     ap.add_argument('--env', nargs='*', default=[],
                     help='KEY=VAL gate overrides for an A/B arm')
     ap.add_argument('--child', default=None, help=argparse.SUPPRESS)
+    ap.add_argument('--batch', type=int, default=None,
+                    help='override --batchSize (batch-scaling sweeps)')
     ap.add_argument('--out', default=os.path.join(ROOT,
                                                   'BENCH_EXTRA_r04.json'))
     args = ap.parse_args()
 
     if args.child:
-        measure(args.child)
+        measure(args.child, args.batch)
         return
 
     results = []
@@ -172,7 +189,9 @@ def main():
         print('[bench_extra] %s %s' % (cfg, args.env or '(default gates)'),
               flush=True)
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            '--child', cfg], env=env, cwd=ROOT,
+                            '--child', cfg]
+                           + (['--batch', str(args.batch)] if args.batch
+                              else []), env=env, cwd=ROOT,
                            capture_output=True, text=True)
         sys.stderr.write(p.stderr[-2000:])
         rec = None
@@ -188,10 +207,14 @@ def main():
     payload = {'note': 'non-DSGAN gating configs, bench.py methodology '
                        '(windows + device probe); see BENCH_r04.json for '
                        'the DSGAN flagship', 'runs': results}
+    out = args.out
+    if args.batch and out.endswith('BENCH_EXTRA_r04.json'):
+        # batch sweeps never clobber the default-gates artifact
+        out = os.path.join(ROOT, 'BENCH_BATCH%d_r05.json' % args.batch)
     if not args.env:                     # default-gates run owns the file
-        with open(args.out, 'w') as f:
+        with open(out, 'w') as f:
             json.dump(payload, f, indent=1)
-        print('wrote %s' % args.out)
+        print('wrote %s' % out)
 
 
 if __name__ == '__main__':

@@ -161,7 +161,7 @@ def smoke_cfg():
         '--dataset_mode', 'single',
         '--transform_1to2', 'bilinear_2', '--batchSize', '1',
         '--input_nc', '2', '--output_nc', '1', '--which_channel', 'rg_b',
-        '--which_model_netG1', 'fcgan', '--n_layers_G1', '3', '--ngf1', '8',
+        '--which_model_netG1', 'fcgan', '--n_layers_G1', '4', '--ngf1', '8',
         '--which_model_netD1', 'n_layers', '--n_layers_D1', '2', '2',
         '--ndf1', '8', '--scale_factor1', '1', '2',
         '--which_model_netG2', 'crn', '--ngf2', '8',
@@ -176,7 +176,7 @@ def smoke_cfg():
     stage2_train = [
         'train.py', '--dataroot', REAL, '--name', 'dsgan_model',
         '--loadSize', '256', '--fineSize', '128',
-        '--noiseSize1', '4', '--noiseSize2', '2',
+        '--noiseSize1', '2', '--noiseSize2', '2',
         '--lambda_D1', '0.5', '0.4', '--lambda_D2', '0.3', '0.3', '0.2',
         '0.2', '--lambda_A', '10', '--lambda_B', '10',
         '--lambda_A_cycle', '5', '--lambda_fake_cycle', '1',
@@ -192,14 +192,14 @@ def smoke_cfg():
     test_readme = [
         'test.py', '--dataroot', os.path.join(WORK, 'null'),
         '--name', 'dsgan_model', '--loadSize', '128', '--fineSize', '128',
-        '--noiseSize1', '2', '--noiseSize2', '1', '--manualSeed', '0',
+        '--noiseSize1', '2', '--noiseSize2', '2', '--manualSeed', '0',
         '--serial_batches', '--no_flip', '--no_rotate', '--how_many', '4',
         '--results_dir', os.path.join(WORK, 'results_readme'),
     ] + stage2_net
     test_gate = [
         'test.py', '--dataroot', os.path.join(WORK, 'null'),
         '--name', 'dsgan_model', '--loadSize', '128', '--fineSize', '128',
-        '--noiseSize1', '4', '--noiseSize2', '2', '--manualSeed', '0',
+        '--noiseSize1', '2', '--noiseSize2', '2', '--manualSeed', '0',
         '--serial_batches', '--no_flip', '--no_rotate', '--how_many', '8',
         '--save_as_single_image', '--results_dir', RESULTS,
     ] + stage2_net
