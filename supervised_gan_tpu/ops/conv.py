@@ -104,6 +104,39 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
     return y
 
 
+# round-5 A/B gate: replace ONLY the dw half of the plain-XLA convT path
+# (k4 s2 p1 batch-1 sites outside every edge_conv gate — the unet_256
+# decoder) with edge_conv.convt_dw_rowpairs.  '' = off (default).
+_XLA_CONVT_DW = os.environ.get('SGAN_TPU_XLA_CONVT_DW', '')
+
+
+def _convt_xla_s2(x, w):
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=_DIMS)
+
+
+@jax.custom_vjp
+def _convt_xla_s2_rowdw(x, w):
+    return _convt_xla_s2(x, w)
+
+
+def _convt_rowdw_fwd(x, w):
+    return _convt_xla_s2(x, w), (x, w)
+
+
+def _convt_rowdw_bwd(res, g):
+    x, w = res
+    _, pullx = jax.vjp(lambda xv: _convt_xla_s2(xv, w), x)
+    (dx,) = pullx(g)
+    from . import edge_conv
+    dw = edge_conv.convt_dw_rowpairs(x, w, g).astype(w.dtype)
+    return dx, dw
+
+
+_convt_xla_s2_rowdw.defvjp(_convt_rowdw_fwd, _convt_rowdw_bwd)
+
+
 def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
                      compute_dtype=None):
     """Transposed 2-D convolution with torch ConvTranspose2d semantics.
@@ -129,6 +162,18 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
     s = (stride, stride) if isinstance(stride, int) else stride
     ph, pw = (padding, padding) if isinstance(padding, int) else padding
     op = output_padding
+    if (_XLA_CONVT_DW == 'rowpair' and (kh, kw) == (4, 4) and s == (2, 2)
+            and (ph, pw) == (1, 1) and op in (0, (0, 0))
+            and x.shape[0] == 1):
+        # Opt-in (round-5 A/B, SGAN_TPU_XLA_CONVT_DW=rowpair): the big-co
+        # decoder convTs outside every edge_conv gate keep XLA's strong
+        # lhs-dilated forward and dx, but swap the dw half — measured at
+        # 226-246 GB/s on the cgan unet_256 decoder (BENCH_NOTES round 4)
+        # — for the row-pair dot form that won on the DSGAN heads.
+        y = _convt_xla_s2_rowdw(x, w)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y
     y = lax.conv_general_dilated(
         x, w, window_strides=(1, 1),
         padding=((kh - 1 - ph, kh - 1 - ph + op),

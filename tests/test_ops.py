@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 import torch.nn.functional as F
+import jax
 import jax.numpy as jnp
 
 from supervised_gan_tpu import ops
@@ -156,3 +157,32 @@ def test_cat_channels_keeps_generated_dtype():
     # f32 pair stays f32 (the real/real pair path)
     y2 = cat_channels(a, a)
     assert y2.dtype == jnp.float32
+
+
+def test_xla_convt_dw_rowpair_matches_joint_vjp(monkeypatch):
+    """SGAN_TPU_XLA_CONVT_DW=rowpair swaps only the dw half of the
+    plain-XLA convT path (unet_256 decoder sites) for
+    edge_conv.convt_dw_rowpairs — forward, dx, dw, db must all match the
+    joint XLA VJP (round-5 perf candidate, gate default OFF)."""
+    from supervised_gan_tpu.ops import conv as conv_mod
+    rng = np.random.RandomState(0)
+    for (h, w, ci, co) in [(2, 2, 16, 8), (8, 8, 24, 32), (5, 6, 4, 4)]:
+        x = jnp.asarray(rng.randn(1, h, w, ci), jnp.float32)
+        W = jnp.asarray(rng.randn(4, 4, ci, co), jnp.float32)
+        b = jnp.asarray(rng.randn(co), jnp.float32)
+        g = jnp.asarray(rng.randn(1, 2 * h, 2 * w, co), jnp.float32)
+
+        def loss(x, W, b):
+            return jnp.sum(conv_mod.conv_transpose2d(x, W, b) * g)
+
+        y0 = conv_mod.conv_transpose2d(x, W, b)
+        g0 = jax.grad(loss, (0, 1, 2))(x, W, b)
+        monkeypatch.setattr(conv_mod, '_XLA_CONVT_DW', 'rowpair')
+        y1 = conv_mod.conv_transpose2d(x, W, b)
+        g1 = jax.grad(loss, (0, 1, 2))(x, W, b)
+        monkeypatch.setattr(conv_mod, '_XLA_CONVT_DW', '')
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-5, atol=1e-5)
+        for a, bb in zip(g1, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-4)

@@ -132,11 +132,15 @@ def full_cfg():
         '--serial_batches', '--no_flip', '--no_rotate', '--how_many', '100',
         '--save_as_single_image', '--results_dir', RESULTS,
     ] + stage2_net
+    # save cadence: every 5 epochs (a full-state device->host fetch through
+    # the relay costs seconds; every-epoch saving dominated wall-clock in
+    # the first attempt).  The kill point must land on a save boundary.
     return dict(px_data=1024, px_fine=512, counts=(n_train, 4, 8),
                 stage1=stage1, stage2_train=stage2_train,
-                stage2_niter=150, stage2_decay=50, kill_epoch=83,
+                stage2_niter=150, stage2_decay=50, kill_epoch=85,
                 test_readme=test_readme, test_gate=test_gate,
-                ss_ngf=16, ss_epochs=20, dataset_size=n_train)
+                ss_ngf=16, ss_epochs=20, dataset_size=n_train,
+                save_freq=5 * n_train)
 
 
 def smoke_cfg():
@@ -373,8 +377,9 @@ def main():
     make_dataset_hard(REAL, px=cfg['px_data'], counts=cfg['counts'])
 
     print('=== phase 1: stage-1 label GAN (README SGAN step 1)', flush=True)
+    save_freq = cfg.get('save_freq', cfg['dataset_size'])
     out1, t1 = run(cfg['stage1'] + COMMON_TRAIN
-                   + ['--save_latest_freq', str(cfg['dataset_size']),
+                   + ['--save_latest_freq', str(save_freq),
                       '--print_freq', str(cfg['dataset_size'])],
                    'stage1_fcgan', args.platform)
     # stage-1 fcgan prints D/G losses (no G2_GAN) — check the printed tail
@@ -387,7 +392,7 @@ def main():
 
     print('=== phase 3: stage-2 DSGAN (README.md:18) with mid-run kill',
           flush=True)
-    extra = COMMON_TRAIN + ['--save_latest_freq', str(cfg['dataset_size']),
+    extra = COMMON_TRAIN + ['--save_latest_freq', str(save_freq),
                             '--print_freq', str(cfg['dataset_size'])]
     kill_pat = 'saving the latest model (epoch %d,' % cfg['kill_epoch']
     out2a, t2a = run_until_kill(cfg['stage2_train'] + extra,
