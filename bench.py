@@ -294,6 +294,7 @@ def main():
             'conv3_dx': p3_mod._DX_MODE,
             'conv4s2': os.environ.get('SGAN_TPU_CONV4S2', '0'),
             'convt_bwd': ct4_mod._BWD_MODE,
+            'xla_convt_dw': conv_mod._XLA_CONVT_DW,
             'group_pack': pack_mod.group_packing_enabled(),
             'conv3_in_fused': core_mod._CONV3_IN_FUSED,
             'in_stream': inorm_mod._IN_STREAM,

@@ -104,10 +104,12 @@ def conv2d(x, w, b=None, stride=1, padding=0, compute_dtype=None):
     return y
 
 
-# round-5 A/B gate: replace ONLY the dw half of the plain-XLA convT path
-# (k4 s2 p1 batch-1 sites outside every edge_conv gate — the unet_256
-# decoder) with edge_conv.convt_dw_rowpairs.  '' = off (default).
-_XLA_CONVT_DW = os.environ.get('SGAN_TPU_XLA_CONVT_DW', '')
+# Replace ONLY the dw half of the plain-XLA convT path (k4 s2 p1 batch-1
+# sites outside every edge_conv gate — the unet_256 decoder) with
+# edge_conv.convt_dw_rowpairs.  Default ON (round-5 A/B: cgan 23.33 ->
+# 22.12 ms device, DSGAN/fcgan/jointgan wash — BENCH_NOTES round 5);
+# SGAN_TPU_XLA_CONVT_DW='' restores the joint XLA VJP.
+_XLA_CONVT_DW = os.environ.get('SGAN_TPU_XLA_CONVT_DW', 'rowpair')
 
 
 def _convt_xla_s2(x, w):
@@ -165,11 +167,11 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
     if (_XLA_CONVT_DW == 'rowpair' and (kh, kw) == (4, 4) and s == (2, 2)
             and (ph, pw) == (1, 1) and op in (0, (0, 0))
             and x.shape[0] == 1):
-        # Opt-in (round-5 A/B, SGAN_TPU_XLA_CONVT_DW=rowpair): the big-co
-        # decoder convTs outside every edge_conv gate keep XLA's strong
-        # lhs-dilated forward and dx, but swap the dw half — measured at
-        # 226-246 GB/s on the cgan unet_256 decoder (BENCH_NOTES round 4)
-        # — for the row-pair dot form that won on the DSGAN heads.
+        # The big-co decoder convTs outside every edge_conv gate keep
+        # XLA's strong lhs-dilated forward and dx, but swap the dw half —
+        # measured at 226-246 GB/s on the cgan unet_256 decoder
+        # (BENCH_NOTES round 4) — for the row-pair dot form that won on
+        # the DSGAN heads.
         y = _convt_xla_s2_rowdw(x, w)
         if b is not None:
             y = y + b.astype(y.dtype)

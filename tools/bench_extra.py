@@ -211,7 +211,12 @@ def main():
     if args.batch and out.endswith('BENCH_EXTRA_r04.json'):
         # batch sweeps never clobber the default-gates artifact
         out = os.path.join(ROOT, 'BENCH_BATCH%d_r05.json' % args.batch)
-    if not args.env:                     # default-gates run owns the file
+    # only a default-gates run covering the full default config set owns
+    # the artifact file; partial/A-B runs just print their JSON lines
+    full_set = set(args.configs) >= {'fcgan_unsup_512', 'cgan_pix2pix_512',
+                                     'fcgan_joint_512'}
+    if not args.env and (full_set or out != os.path.join(
+            ROOT, 'BENCH_EXTRA_r04.json')):
         with open(out, 'w') as f:
             json.dump(payload, f, indent=1)
         print('wrote %s' % out)

@@ -37,14 +37,13 @@ GEOMETRIES = [
 
 
 def make_data(n):
+    """VNC-like content (quality_eval.make_dataset_hard), NOT noise —
+    noise PNGs don't deflate (~3 MB/file vs ~0.5 MB structured) and
+    overstate decode cost ~2x vs representative data."""
     shutil.rmtree(DATA, ignore_errors=True)
-    d = os.path.join(DATA, 'train')
-    os.makedirs(d)
-    from PIL import Image
-    rng = np.random.RandomState(0)
-    for i in range(n):
-        Image.fromarray(rng.randint(0, 255, (1024, 1024, 3), np.uint8)
-                        ).save(os.path.join(d, '%03d.png' % i))
+    sys.path.insert(0, os.path.join(ROOT, 'tools'))
+    from quality_eval import make_dataset_hard
+    make_dataset_hard(DATA, px=1024, counts=(n, 0, 0))
 
 
 def measure(load_size, cache, epochs, warm_epochs=1):
