@@ -29,10 +29,10 @@ DATA = '/tmp/bench_loader_data'
 # 512 everywhere; transforms follow the README commands: DSGAN/cgan crop
 # 512 from native 1024, fcgan/jointgan resize 1024->512 (no crop).
 GEOMETRIES = [
-    ('dsgan_512', 1024, 36.0),
-    ('cgan_512', 1024, 41.2),
-    ('fcgan_512', 512, 161.6),
-    ('jointgan_512', 512, 133.1),
+    ('dsgan_512', 1024, 35.9),      # device rates: BENCH_EXTRA_r05.json
+    ('cgan_512', 1024, 43.1),
+    ('fcgan_512', 512, 161.5),
+    ('jointgan_512', 512, 152.9),
 ]
 
 
