@@ -166,7 +166,9 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, output_padding=0,
     op = output_padding
     if (_XLA_CONVT_DW == 'rowpair' and (kh, kw) == (4, 4) and s == (2, 2)
             and (ph, pw) == (1, 1) and op in (0, (0, 0))
-            and x.shape[0] == 1):
+            and x.shape[0] == 1 and x.shape[1] > 0 and x.shape[2] > 0):
+        # h/w > 0: an under-sized unet can carry 0-size inner activations
+        # (XLA's empty convs are fine; the rowpair dw reshape is not)
         # The big-co decoder convTs outside every edge_conv gate keep
         # XLA's strong lhs-dilated forward and dx, but swap the dw half —
         # measured at 226-246 GB/s on the cgan unet_256 decoder
